@@ -1,0 +1,5 @@
+# Repo-root conftest: make mjlab_tpu importable without installation.
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))

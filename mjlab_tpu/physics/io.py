@@ -1,0 +1,416 @@
+"""MjModel -> TPU pytree conversion and Data allocation.
+
+CPU MuJoCo stays the build-time authoring/compilation tool (as in the
+reference, where MjSpec authoring happens on CPU and mujoco_warp consumes
+the compiled model, reference src/mjlab/sim/sim.py:97-119). This module is
+the TPU analog of `mjwarp.put_model` / `mjwarp.put_data`: it converts a
+compiled `mujoco.MjModel` into the engine's `Model` pytree and allocates a
+fresh `Data` pytree.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+
+from mjlab_tpu.physics.types import (
+    CollisionPairs,
+    Contact,
+    Data,
+    GeomType,
+    JointType,
+    Model,
+    ModelStatic,
+    Option,
+)
+
+# Supported narrowphase collider keys -> max contact points per pair.
+# Types are sorted (a <= b) using the GeomType enum ordering, which puts
+# plane first (mirrors MuJoCo's collision table organization).
+_COLLIDER_POINTS = {
+    (GeomType.PLANE, GeomType.SPHERE): 1,
+    (GeomType.PLANE, GeomType.CAPSULE): 2,
+    (GeomType.PLANE, GeomType.BOX): 4,
+    (GeomType.PLANE, GeomType.ELLIPSOID): 1,
+    (GeomType.PLANE, GeomType.CYLINDER): 4,
+    (GeomType.SPHERE, GeomType.SPHERE): 1,
+    (GeomType.SPHERE, GeomType.CAPSULE): 1,
+    (GeomType.SPHERE, GeomType.BOX): 1,
+    (GeomType.SPHERE, GeomType.CYLINDER): 1,
+    (GeomType.CAPSULE, GeomType.CAPSULE): 1,
+    (GeomType.CAPSULE, GeomType.BOX): 2,
+    (GeomType.BOX, GeomType.BOX): 8,
+}
+
+
+def _body_levels(parentid: np.ndarray) -> tuple:
+  nbody = len(parentid)
+  depth = np.zeros(nbody, dtype=np.int32)
+  for b in range(1, nbody):
+    depth[b] = depth[parentid[b]] + 1
+  levels = []
+  for d in range(1, depth.max() + 1 if nbody > 1 else 1):
+    ids = np.nonzero(depth == d)[0].astype(np.int32)
+    if len(ids):
+      levels.append(ids)
+  return tuple(levels)
+
+
+def _ancestor_mask(m: mujoco.MjModel) -> np.ndarray:
+  """mask[b, d] = 1 if dof d belongs to body b or one of its ancestors."""
+  mask = np.zeros((m.nbody, m.nv), dtype=np.float64)
+  for b in range(m.nbody):
+    cur = b
+    while cur != 0:
+      adr, num = m.body_dofadr[cur], m.body_dofnum[cur]
+      if num > 0:
+        mask[b, adr:adr + num] = 1.0
+      cur = m.body_parentid[cur]
+  return mask
+
+
+def _subtree_mask(parentid: np.ndarray) -> np.ndarray:
+  nbody = len(parentid)
+  mask = np.zeros((nbody, nbody), dtype=np.float64)
+  for c in range(nbody):
+    cur = c
+    mask[cur, c] = 1.0
+    while cur != 0:
+      cur = parentid[cur]
+      mask[cur, c] = 1.0
+  return mask
+
+
+def _dof_prefix_mask(m: mujoco.MjModel, ancestor: np.ndarray) -> np.ndarray:
+  """prefix[d, e] = 1 if dof e contributes to the velocity 'seen' by dof d
+  when computing cdof_dot (ancestor dofs of d's body, plus same-body dofs
+  with smaller index). Mirrors the accumulation order of mj_comVel."""
+  nv = m.nv
+  prefix = np.zeros((nv, nv), dtype=np.float64)
+  for d in range(nv):
+    b = m.dof_bodyid[d]
+    j = m.dof_jntid[d]
+    prefix[d] = ancestor[b]
+    # exclude all dofs of the owning joint (mj_comVel crosses every dof of a
+    # multi-dof joint with the velocity accumulated before that joint), and
+    # any later joints on the same body.
+    # For free joints the 3 translational dofs do contribute to the
+    # rotational dofs' cdof_dot.
+    excl = m.jnt_dofadr[j]
+    if m.jnt_type[j] == int(mujoco.mjtJoint.mjJNT_FREE):
+      excl += 3
+    adr, num = m.body_dofadr[b], m.body_dofnum[b]
+    prefix[d, min(excl, d):adr + num] = 0.0
+  return prefix
+
+
+def _filter_pair(m: mujoco.MjModel, g1: int, g2: int) -> bool:
+  """Static broadphase filter, mirroring MuJoCo's mj_filterPair logic on
+  (contype, conaffinity), same-body and parent-child (weld) exclusion."""
+  b1, b2 = m.geom_bodyid[g1], m.geom_bodyid[g2]
+  if b1 == b2:
+    return False
+  w1, w2 = m.body_weldid[b1], m.body_weldid[b2]
+  if w1 == w2:
+    return False
+  # parent-child exclusion (unless parent is world)
+  wp1 = m.body_weldid[m.body_parentid[w1]]
+  wp2 = m.body_weldid[m.body_parentid[w2]]
+  if (w1 == wp2 and w1 != 0) or (w2 == wp1 and w2 != 0):
+    return False
+  ok = (m.geom_contype[g1] & m.geom_conaffinity[g2]) or \
+       (m.geom_contype[g2] & m.geom_conaffinity[g1])
+  return bool(ok)
+
+
+def _build_pairs(m: mujoco.MjModel) -> CollisionPairs:
+  groups: dict = {}
+  for g1 in range(m.ngeom):
+    for g2 in range(g1 + 1, m.ngeom):
+      if not _filter_pair(m, g1, g2):
+        continue
+      t1, t2 = int(m.geom_type[g1]), int(m.geom_type[g2])
+      a, b = (g1, g2) if t1 <= t2 else (g2, g1)
+      key = (min(t1, t2), max(t1, t2))
+      if key not in _COLLIDER_POINTS:
+        raise NotImplementedError(
+            f'no collider for geom type pair {GeomType(key[0]).name}-'
+            f'{GeomType(key[1]).name} (geoms {g1},{g2})')
+      groups.setdefault(key, ([], []))
+      groups[key][0].append(a)
+      groups[key][1].append(b)
+  ncon = 0
+  final = {}
+  for key in sorted(groups):
+    g1s, g2s = groups[key]
+    final[key] = (np.asarray(g1s, np.int32), np.asarray(g2s, np.int32), ncon,
+                  _COLLIDER_POINTS[key])
+    ncon += len(g1s) * _COLLIDER_POINTS[key]
+  return CollisionPairs(groups=final, ncon_max=ncon)
+
+
+def contact_slot_meta(m: mujoco.MjModel, pairs: CollisionPairs):
+  """Static per-contact-slot (geom1, geom2, condim) arrays."""
+  geom1 = np.zeros(max(pairs.ncon_max, 1), np.int32)
+  geom2 = np.zeros(max(pairs.ncon_max, 1), np.int32)
+  dim = np.ones(max(pairs.ncon_max, 1), np.int32)
+  for _, (g1s, g2s, base, npts) in pairs.groups.items():
+    for i, (g1, g2) in enumerate(zip(g1s, g2s)):
+      p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
+      if p1 != p2:
+        condim = m.geom_condim[g1] if p1 > p2 else m.geom_condim[g2]
+      else:
+        condim = max(m.geom_condim[g1], m.geom_condim[g2])
+      s = base + i * npts
+      geom1[s:s + npts] = g1
+      geom2[s:s + npts] = g2
+      dim[s:s + npts] = condim
+  return geom1, geom2, dim
+
+
+def _names(m: mujoco.MjModel, obj: mujoco.mjtObj, n: int) -> tuple:
+  return tuple(
+      mujoco.mj_id2name(m, obj, i) or f'#{i}' for i in range(n))
+
+
+def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
+  """Convert a compiled mujoco.MjModel to the engine Model pytree."""
+  if m.neq:
+    raise NotImplementedError('equality constraints not yet supported')
+  if m.ntendon:
+    raise NotImplementedError('tendons not yet supported')
+  if m.nmocap:
+    raise NotImplementedError('mocap bodies not yet supported')
+  for j in range(m.njnt):
+    if m.jnt_type[j] not in (int(mujoco.mjtJoint.mjJNT_FREE),
+                             int(mujoco.mjtJoint.mjJNT_HINGE),
+                             int(mujoco.mjtJoint.mjJNT_SLIDE),
+                             int(mujoco.mjtJoint.mjJNT_BALL)):
+      raise NotImplementedError(f'joint type {m.jnt_type[j]} unsupported')
+  for b in range(m.nbody):
+    jn = m.body_jntnum[b]
+    if jn > 1:
+      # multiple joints per body supported only if all are hinge/slide
+      for j in range(m.body_jntadr[b], m.body_jntadr[b] + jn):
+        if m.jnt_type[j] in (int(mujoco.mjtJoint.mjJNT_FREE),):
+          raise NotImplementedError('free joint must be alone on its body')
+  if m.na:
+    raise NotImplementedError('actuator activation dynamics not supported')
+
+  pairs = _build_pairs(m)
+
+  stat = ModelStatic(
+      nq=int(m.nq), nv=int(m.nv), nu=int(m.nu), nbody=int(m.nbody),
+      njnt=int(m.njnt), ngeom=int(m.ngeom), nsite=int(m.nsite),
+      nsensor=int(m.nsensor), nsensordata=int(m.nsensordata),
+      body_parentid=m.body_parentid.copy(),
+      body_rootid=m.body_rootid.copy(),
+      body_jntadr=m.body_jntadr.copy(),
+      body_jntnum=m.body_jntnum.copy(),
+      body_dofadr=m.body_dofadr.copy(),
+      body_dofnum=m.body_dofnum.copy(),
+      body_geomadr=m.body_geomadr.copy(),
+      body_geomnum=m.body_geomnum.copy(),
+      body_levels=_body_levels(m.body_parentid),
+      ancestor_mask=_ancestor_mask(m),
+      subtree_mask=_subtree_mask(m.body_parentid),
+      dof_prefix_mask=_dof_prefix_mask(m, _ancestor_mask(m)),
+      jnt_type=m.jnt_type.copy(),
+      jnt_qposadr=m.jnt_qposadr.copy(),
+      jnt_dofadr=m.jnt_dofadr.copy(),
+      jnt_bodyid=m.jnt_bodyid.copy(),
+      jnt_limited=m.jnt_limited.copy(),
+      jnt_actgravcomp=m.jnt_actgravcomp.copy(),
+      dof_bodyid=m.dof_bodyid.copy(),
+      dof_jntid=m.dof_jntid.copy(),
+      geom_type=m.geom_type.copy(),
+      geom_bodyid=m.geom_bodyid.copy(),
+      geom_condim=m.geom_condim.copy(),
+      geom_priority=m.geom_priority.copy(),
+      site_bodyid=m.site_bodyid.copy(),
+      actuator_trntype=m.actuator_trntype.copy(),
+      actuator_trnid=m.actuator_trnid.copy(),
+      actuator_gaintype=m.actuator_gaintype.copy(),
+      actuator_biastype=m.actuator_biastype.copy(),
+      actuator_ctrllimited=m.actuator_ctrllimited.copy(),
+      actuator_forcelimited=m.actuator_forcelimited.copy(),
+      sensor_type=m.sensor_type.copy(),
+      sensor_datatype=m.sensor_datatype.copy(),
+      sensor_objtype=m.sensor_objtype.copy(),
+      sensor_objid=m.sensor_objid.copy(),
+      sensor_reftype=m.sensor_reftype.copy(),
+      sensor_refid=m.sensor_refid.copy(),
+      sensor_adr=m.sensor_adr.copy(),
+      sensor_dim=m.sensor_dim.copy(),
+      sensor_intprm=m.sensor_intprm.copy(),
+      integrator=int(m.opt.integrator),
+      cone=int(m.opt.cone),
+      iterations=int(m.opt.iterations),
+      ls_iterations=int(m.opt.ls_iterations),
+      disableflags=int(m.opt.disableflags),
+      pairs=pairs,
+      body_names=_names(m, mujoco.mjtObj.mjOBJ_BODY, m.nbody),
+      jnt_names=_names(m, mujoco.mjtObj.mjOBJ_JOINT, m.njnt),
+      geom_names=_names(m, mujoco.mjtObj.mjOBJ_GEOM, m.ngeom),
+      site_names=_names(m, mujoco.mjtObj.mjOBJ_SITE, m.nsite),
+      actuator_names=_names(m, mujoco.mjtObj.mjOBJ_ACTUATOR, m.nu),
+      sensor_names=_names(m, mujoco.mjtObj.mjOBJ_SENSOR, m.nsensor),
+  )
+
+  a = lambda x: jnp.asarray(x, dtype=dtype)
+  opt = Option(
+      timestep=a(m.opt.timestep),
+      gravity=a(m.opt.gravity),
+      impratio=a(m.opt.impratio),
+      tolerance=a(m.opt.tolerance),
+      ls_tolerance=a(m.opt.ls_tolerance),
+  )
+
+  return Model(
+      stat=stat,
+      opt=opt,
+      qpos0=a(m.qpos0),
+      qpos_spring=a(m.qpos_spring),
+      body_pos=a(m.body_pos),
+      body_quat=a(m.body_quat),
+      body_ipos=a(m.body_ipos),
+      body_iquat=a(m.body_iquat),
+      body_mass=a(m.body_mass),
+      body_subtreemass=a(m.body_subtreemass),
+      body_inertia=a(m.body_inertia),
+      body_invweight0=a(m.body_invweight0),
+      body_gravcomp=a(m.body_gravcomp),
+      jnt_pos=a(m.jnt_pos),
+      jnt_axis=a(m.jnt_axis),
+      jnt_range=a(m.jnt_range),
+      jnt_stiffness=a(m.jnt_stiffness),
+      jnt_solref=a(m.jnt_solref),
+      jnt_solimp=a(m.jnt_solimp),
+      jnt_margin=a(m.jnt_margin),
+      dof_armature=a(m.dof_armature),
+      dof_damping=a(m.dof_damping),
+      dof_frictionloss=a(m.dof_frictionloss),
+      dof_invweight0=a(m.dof_invweight0),
+      dof_solref=a(m.dof_solref),
+      dof_solimp=a(m.dof_solimp),
+      geom_pos=a(m.geom_pos),
+      geom_quat=a(m.geom_quat),
+      geom_size=a(m.geom_size),
+      geom_friction=a(m.geom_friction),
+      geom_solref=a(m.geom_solref),
+      geom_solimp=a(m.geom_solimp),
+      geom_solmix=a(m.geom_solmix),
+      geom_margin=a(m.geom_margin),
+      geom_gap=a(m.geom_gap),
+      geom_rgba=a(m.geom_rgba),
+      site_pos=a(m.site_pos),
+      site_quat=a(m.site_quat),
+      actuator_gainprm=a(m.actuator_gainprm),
+      actuator_biasprm=a(m.actuator_biasprm),
+      actuator_gear=a(m.actuator_gear),
+      actuator_ctrlrange=a(m.actuator_ctrlrange),
+      actuator_forcerange=a(m.actuator_forcerange),
+  )
+
+
+def nefc_max(stat: ModelStatic) -> int:
+  """Static constraint row capacity: friction + limits + contact rows."""
+  nfric = 0  # filled dynamically by mask; rows exist for every dof
+  nfric = int(stat.nv)
+  nlimit = int(stat.jnt_limited.sum())
+  _, _, dim = None, None, None
+  ncontact_rows = 0
+  for _, (g1s, g2s, base, npts) in stat.pairs.groups.items():
+    del base
+    for g1, g2 in zip(g1s, g2s):
+      p1, p2 = stat.geom_priority[g1], stat.geom_priority[g2]
+      if p1 != p2:
+        condim = stat.geom_condim[g1] if p1 > p2 else stat.geom_condim[g2]
+      else:
+        condim = max(stat.geom_condim[g1], stat.geom_condim[g2])
+      rows = 1 if condim == 1 else 2 * (condim - 1)
+      if stat.cone == 1 and condim > 1:  # elliptic
+        rows = condim
+      ncontact_rows += rows * npts
+  return nfric + nlimit + ncontact_rows
+
+
+def make_data(model: Model, dtype=jnp.float32) -> Data:
+  """Allocate a single-env Data pytree at qpos0 (use jax.vmap to batch)."""
+  s = model.stat
+  z = lambda *shape: jnp.zeros(shape, dtype=dtype)
+  ncon = max(s.pairs.ncon_max, 1)
+  # static slot meta
+  geom1 = np.zeros(ncon, np.int32)
+  geom2 = np.zeros(ncon, np.int32)
+  dim = np.ones(ncon, np.int32)
+  for _, (g1s, g2s, base, npts) in s.pairs.groups.items():
+    for i, (g1, g2) in enumerate(zip(g1s, g2s)):
+      p1, p2 = s.geom_priority[g1], s.geom_priority[g2]
+      if p1 != p2:
+        condim = s.geom_condim[g1] if p1 > p2 else s.geom_condim[g2]
+      else:
+        condim = max(s.geom_condim[g1], s.geom_condim[g2])
+      sl = base + i * npts
+      geom1[sl:sl + npts] = g1
+      geom2[sl:sl + npts] = g2
+      dim[sl:sl + npts] = condim
+
+  contact = Contact(
+      dist=jnp.full((ncon,), 1e10, dtype=dtype),
+      pos=z(ncon, 3),
+      frame=jnp.tile(jnp.eye(3, dtype=dtype), (ncon, 1, 1)),
+      friction=z(ncon, 5),
+      solref=z(ncon, 2),
+      solimp=z(ncon, 5),
+      includemargin=z(ncon),
+      geom1=geom1,
+      geom2=geom2,
+      dim=dim,
+  )
+
+  return Data(
+      qpos=jnp.asarray(model.qpos0, dtype=dtype),
+      qvel=z(s.nv),
+      ctrl=z(s.nu),
+      qacc=z(s.nv),
+      qacc_warmstart=z(s.nv),
+      time=jnp.zeros((), dtype=dtype),
+      xfrc_applied=z(s.nbody, 6),
+      qfrc_applied=z(s.nv),
+      xpos=z(s.nbody, 3),
+      xquat=z(s.nbody, 4).at[:, 0].set(1.0),
+      xmat=jnp.tile(jnp.eye(3, dtype=dtype), (s.nbody, 1, 1)),
+      xipos=z(s.nbody, 3),
+      ximat=jnp.tile(jnp.eye(3, dtype=dtype), (s.nbody, 1, 1)),
+      xanchor=z(max(s.njnt, 1), 3),
+      xaxis=z(max(s.njnt, 1), 3),
+      geom_xpos=z(s.ngeom, 3),
+      geom_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (s.ngeom, 1, 1)),
+      site_xpos=z(max(s.nsite, 1), 3),
+      site_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (max(s.nsite, 1), 1, 1)),
+      subtree_com=z(s.nbody, 3),
+      cinr=z(s.nbody, 6, 6),
+      cdof=z(s.nv, 6),
+      cdof_dot=z(s.nv, 6),
+      cvel=z(s.nbody, 6),
+      qM=z(s.nv, s.nv),
+      qLD=z(s.nv, s.nv),
+      qfrc_bias=z(s.nv),
+      qfrc_passive=z(s.nv),
+      qfrc_spring=z(s.nv),
+      qfrc_damper=z(s.nv),
+      qfrc_actuator=z(s.nv),
+      qfrc_smooth=z(s.nv),
+      qacc_smooth=z(s.nv),
+      qfrc_constraint=z(s.nv),
+      actuator_length=z(s.nu),
+      actuator_velocity=z(s.nu),
+      actuator_force=z(s.nu),
+      contact=contact,
+      efc_force=z(max(nefc_max(s), 1)),
+      ncon_active=jnp.zeros((), dtype=jnp.int32),
+      solver_niter=jnp.zeros((), dtype=jnp.int32),
+      sensordata=z(max(s.nsensordata, 1)),
+  )

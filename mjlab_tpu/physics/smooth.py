@@ -1,0 +1,205 @@
+"""Smooth (unconstrained) dynamics: mass matrix, bias forces, passive
+forces, actuation and smooth acceleration.
+
+TPU-first formulation: instead of MuJoCo's sparse tree recursions (CRBA
+backward pass, RNE two-pass), everything is expressed with dense masked
+einsums over static ancestor/subtree masks. With nv ~ 10-40 and nbody ~
+10-40 these are tiny dense ops that XLA batches into large GEMMs across the
+env axis under vmap - exactly what the MXU wants.
+
+Replaces the corresponding mujoco_warp kernels the reference drives through
+`mjwarp.step` (reference src/mjlab/sim/sim.py:110-195).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mjlab_tpu.physics import math as pmath
+from mjlab_tpu.physics.types import (
+    BiasType,
+    Data,
+    DisableBit,
+    GainType,
+    JointType,
+    Model,
+    TrnType,
+)
+
+
+def crb(m: Model, d: Data) -> Data:
+  """Composite-rigid-body mass matrix (dense) + Cholesky factor."""
+  s = m.stat
+  dtype = d.qpos.dtype
+  sub = jnp.asarray(s.subtree_mask, dtype)
+  anc = jnp.asarray(s.ancestor_mask, dtype)
+
+  # composite inertia per body: sum of cinr over subtree
+  crb_flat = sub @ d.cinr.reshape(s.nbody, 36)
+  crb_b = crb_flat.reshape(s.nbody, 6, 6)
+
+  body_of_dof = s.dof_bodyid
+  B = crb_b[body_of_dof]  # (nv, 6, 6)
+  t = jnp.einsum('dij,dj->di', B, d.cdof)  # (nv, 6)
+  raw = t @ d.cdof.T  # (nv, nv): raw[i, j] = t_i . cdof_j
+  mask = anc[body_of_dof]  # (nv, nv): ancestor dofs of dof i's body
+  tril = jnp.tril(jnp.ones((s.nv, s.nv), dtype))
+  L = raw * mask * tril
+  qM = L + L.T - jnp.diag(jnp.diag(L))
+  qM = qM + jnp.diag(m.dof_armature)
+  qLD = jnp.linalg.cholesky(qM)
+  return d.replace(qM=qM, qLD=qLD)
+
+
+def solve_m(d: Data, rhs: jax.Array) -> jax.Array:
+  """Solve M x = rhs using the cached Cholesky factor."""
+  y = jax.scipy.linalg.solve_triangular(d.qLD, rhs, lower=True)
+  return jax.scipy.linalg.solve_triangular(d.qLD.T, y, lower=False)
+
+
+def rne(m: Model, d: Data) -> Data:
+  """Recursive-Newton-Euler bias force C(q, qvel) as dense einsums."""
+  s = m.stat
+  dtype = d.qpos.dtype
+  anc = jnp.asarray(s.ancestor_mask, dtype)
+
+  # body acceleration with qacc = 0, world 'accelerating' upward at -g
+  a0 = jnp.concatenate(
+      [jnp.zeros(3, dtype), -m.opt.gravity.astype(dtype)])
+  if s.disableflags & DisableBit.GRAVITY:
+    a0 = jnp.zeros(6, dtype)
+  cacc = a0[None, :] + anc @ (d.cdof_dot * d.qvel[:, None])  # (nbody, 6)
+
+  cfrc = jnp.einsum('bij,bj->bi', d.cinr, cacc)
+  cfrc = cfrc + pmath.force_cross(
+      d.cvel, jnp.einsum('bij,bj->bi', d.cinr, d.cvel))
+
+  # qfrc_bias[i] = sum_b anc[b, i] * (cdof_i . cfrc_b)
+  qfrc_bias = jnp.einsum('ik,bk,bi->i', d.cdof, cfrc, anc)
+  return d.replace(qfrc_bias=qfrc_bias)
+
+
+def passive(m: Model, d: Data) -> Data:
+  """Spring and damper passive forces (fluid forces unsupported)."""
+  s = m.stat
+  dtype = d.qpos.dtype
+  if s.disableflags & DisableBit.PASSIVE:
+    z = jnp.zeros(s.nv, dtype)
+    return d.replace(qfrc_passive=z, qfrc_spring=z, qfrc_damper=z)
+
+  qfrc_spring = jnp.zeros(s.nv, dtype)
+  for jt in (JointType.FREE, JointType.BALL, JointType.SLIDE, JointType.HINGE):
+    jsel = np.nonzero(s.jnt_type == int(jt))[0]
+    if len(jsel) == 0:
+      continue
+    stiff = m.jnt_stiffness[jsel]
+    qadr = s.jnt_qposadr[jsel]
+    dadr = s.jnt_dofadr[jsel]
+    if jt in (JointType.SLIDE, JointType.HINGE):
+      frc = -stiff * (d.qpos[qadr] - m.qpos_spring[qadr])
+      qfrc_spring = qfrc_spring.at[dadr].set(frc)
+    elif jt == JointType.BALL:
+      q = d.qpos[qadr[:, None] + np.arange(4)[None, :]]
+      qs = m.qpos_spring[qadr[:, None] + np.arange(4)[None, :]]
+      dif = pmath.quat_sub(q, qs)
+      for i in range(3):
+        qfrc_spring = qfrc_spring.at[dadr + i].set(-stiff * dif[:, i])
+    else:  # FREE
+      q = d.qpos[qadr[:, None] + np.arange(7)[None, :]]
+      qs = m.qpos_spring[qadr[:, None] + np.arange(7)[None, :]]
+      dpos = q[:, :3] - qs[:, :3]
+      drot = pmath.quat_sub(q[:, 3:7], qs[:, 3:7])
+      for i in range(3):
+        qfrc_spring = qfrc_spring.at[dadr + i].set(-stiff * dpos[:, i])
+        qfrc_spring = qfrc_spring.at[dadr + 3 + i].set(-stiff * drot[:, i])
+
+  qfrc_damper = -m.dof_damping * d.qvel
+  return d.replace(
+      qfrc_passive=qfrc_spring + qfrc_damper,
+      qfrc_spring=qfrc_spring,
+      qfrc_damper=qfrc_damper)
+
+
+def transmission(m: Model, d: Data) -> Data:
+  """Actuator lengths/velocities for scalar joint transmissions.
+
+  Only mjTRN_JOINT on hinge/slide joints is supported (the reference's PD
+  actuator synthesis creates exactly these, reference
+  src/mjlab/utils/spec_config.py:400-453)."""
+  s = m.stat
+  if s.nu == 0:
+    return d
+  jid = s.actuator_trnid[:, 0]
+  qadr = s.jnt_qposadr[jid]
+  dadr = s.jnt_dofadr[jid]
+  gear = m.actuator_gear[:, 0]
+  length = d.qpos[qadr] * gear
+  velocity = d.qvel[dadr] * gear
+  return d.replace(actuator_length=length, actuator_velocity=velocity)
+
+
+def actuation(m: Model, d: Data) -> Data:
+  """Actuator force generation + mapping to joint space.
+
+  Supports gaintype FIXED/AFFINE and biastype NONE/AFFINE, covering motor
+  and position/velocity actuators (the PD semantics used by the reference's
+  ActuatorSetCfg, reference src/mjlab/utils/spec_config.py:441-453)."""
+  s = m.stat
+  dtype = d.qpos.dtype
+  if s.nu == 0 or (s.disableflags & DisableBit.ACTUATION):
+    return d.replace(qfrc_actuator=jnp.zeros(s.nv, dtype))
+
+  ctrl = d.ctrl
+  if not (s.disableflags & DisableBit.CLAMPCTRL):
+    limited = jnp.asarray(s.actuator_ctrllimited.astype(bool))
+    clamped = jnp.clip(ctrl, m.actuator_ctrlrange[:, 0],
+                       m.actuator_ctrlrange[:, 1])
+    ctrl = jnp.where(limited, clamped, ctrl)
+
+  gain = jnp.where(
+      jnp.asarray(s.actuator_gaintype == int(GainType.FIXED)),
+      m.actuator_gainprm[:, 0],
+      m.actuator_gainprm[:, 0] + m.actuator_gainprm[:, 1] * d.actuator_length
+      + m.actuator_gainprm[:, 2] * d.actuator_velocity)
+  bias = jnp.where(
+      jnp.asarray(s.actuator_biastype == int(BiasType.AFFINE)),
+      m.actuator_biasprm[:, 0] + m.actuator_biasprm[:, 1] * d.actuator_length
+      + m.actuator_biasprm[:, 2] * d.actuator_velocity,
+      0.0)
+  force = gain * ctrl + bias
+  limited_f = jnp.asarray(s.actuator_forcelimited.astype(bool))
+  force = jnp.where(
+      limited_f,
+      jnp.clip(force, m.actuator_forcerange[:, 0], m.actuator_forcerange[:, 1]),
+      force)
+
+  # scalar joint transmission: qfrc[dof] += gear * force
+  jid = s.actuator_trnid[:, 0]
+  dadr = s.jnt_dofadr[jid]
+  qfrc_actuator = jnp.zeros(s.nv, dtype).at[dadr].add(
+      m.actuator_gear[:, 0] * force)
+  return d.replace(actuator_force=force, qfrc_actuator=qfrc_actuator)
+
+
+def xfrc_accumulate(m: Model, d: Data) -> jax.Array:
+  """Map xfrc_applied ([force(3), torque(3)] at body CoM, world frame) to
+  joint space via the dense body Jacobians."""
+  s = m.stat
+  dtype = d.qpos.dtype
+  anc = jnp.asarray(s.ancestor_mask, dtype)
+  frc = d.xfrc_applied[:, :3]
+  trq = d.xfrc_applied[:, 3:]
+  # spatial force at the c-frame (root subtree com): trq' = trq + r x frc
+  r = d.xipos - d.subtree_com[s.body_rootid]
+  cfrc = jnp.concatenate([trq + jnp.cross(r, frc), frc], axis=-1)
+  return jnp.einsum('ik,bk,bi->i', d.cdof, cfrc, anc)
+
+
+def fwd_smooth(m: Model, d: Data) -> Data:
+  """qfrc_smooth and qacc_smooth (unconstrained acceleration)."""
+  qfrc_smooth = (d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator
+                 + d.qfrc_applied + xfrc_accumulate(m, d))
+  qacc_smooth = solve_m(d, qfrc_smooth)
+  return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
