@@ -1,0 +1,341 @@
+"""Narrowphase collision over a static pair table.
+
+Broadphase is resolved at model-build time (contype/conaffinity + body
+exclusion rules -> static pair lists grouped by collider function, see
+io._build_pairs). At runtime each group is processed as one vectorized
+narrowphase call producing a fixed number of candidate contacts per pair;
+inactive candidates keep dist > includemargin and are masked out of the
+constraint assembly. This is the TPU analog of the reference's
+nconmax-padded contact buffers (reference src/mjlab/sim/sim.py:87-88) with
+the broad phase hoisted to compile time.
+
+Contact conventions match MuJoCo: normal points from geom1 into geom2,
+dist < 0 means penetration, pos is the midpoint between surfaces.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mjlab_tpu.physics import math as pmath
+from mjlab_tpu.physics.types import Contact, Data, GeomType, Model
+
+_MJMINVAL = 1e-15
+
+
+# ---------------------------------------------------------------------------
+# Primitive narrowphase functions. Each takes per-pair geometry arrays and
+# returns (dist, pos, normal) with a fixed number of points per pair:
+# shapes (n, k), (n, k, 3), (n, k, 3).
+# ---------------------------------------------------------------------------
+
+
+def _plane_sphere(p1, m1, s1, p2, m2, s2):
+  n = m1[..., :, 2]
+  r = s2[..., 0]
+  cdist = jnp.sum((p2 - p1) * n, axis=-1)
+  dist = cdist - r
+  pos = p2 - n * (r + 0.5 * dist)[..., None]
+  return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _plane_capsule(p1, m1, s1, p2, m2, s2):
+  n = m1[..., :, 2]
+  r, hl = s2[..., 0], s2[..., 1]
+  axis = m2[..., :, 2]
+  ends = jnp.stack([p2 + axis * hl[..., None], p2 - axis * hl[..., None]], -2)
+  cdist = jnp.sum((ends - p1[..., None, :]) * n[..., None, :], axis=-1)
+  dist = cdist - r[..., None]
+  pos = ends - n[..., None, :] * (r[..., None] + 0.5 * dist)[..., None]
+  nrm = jnp.broadcast_to(n[..., None, :], pos.shape)
+  return dist, pos, nrm
+
+
+def _plane_box(p1, m1, s1, p2, m2, s2):
+  n = m1[..., :, 2]
+  # 8 corners in world frame
+  signs = jnp.asarray(
+      [[x, y, z] for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)],
+      dtype=p2.dtype)  # (8, 3)
+  corners_local = signs * s2[..., None, :3]
+  corners = p2[..., None, :] + jnp.einsum('...ij,...kj->...ki', m2,
+                                          corners_local)
+  cdist = jnp.sum((corners - p1[..., None, :]) * n[..., None, :], -1)  # (n,8)
+  # keep the 4 deepest corners
+  idx = jnp.argsort(cdist, axis=-1)[..., :4]
+  dist = jnp.take_along_axis(cdist, idx, axis=-1)
+  pts = jnp.take_along_axis(corners, idx[..., None], axis=-2)
+  pos = pts - n[..., None, :] * (0.5 * dist)[..., None]
+  nrm = jnp.broadcast_to(n[..., None, :], pos.shape)
+  return dist, pos, nrm
+
+
+def _plane_ellipsoid(p1, m1, s1, p2, m2, s2):
+  n = m1[..., :, 2]
+  # support point in -n direction: x = -diag(s)^2 R^T n / |diag(s) R^T n|
+  nl = jnp.einsum('...ji,...j->...i', m2, n)  # normal in ellipsoid frame
+  sn = s2[..., :3] * nl
+  denom = jnp.maximum(jnp.linalg.norm(sn, axis=-1), _MJMINVAL)
+  xl = -(s2[..., :3] ** 2) * nl / denom[..., None]
+  x = p2 + jnp.einsum('...ij,...j->...i', m2, xl)
+  dist = jnp.sum((x - p1) * n, axis=-1)
+  pos = x - n * (0.5 * dist)[..., None]
+  return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _plane_cylinder(p1, m1, s1, p2, m2, s2):
+  n = m1[..., :, 2]
+  r, hl = s2[..., 0], s2[..., 1]
+  axis = m2[..., :, 2]
+  # rim direction: project -n onto disc plane
+  pn = jnp.sum(n * axis, axis=-1)
+  rim = -(n - axis * pn[..., None])
+  rimn = jnp.linalg.norm(rim, axis=-1)
+  rim = rim / jnp.maximum(rimn, _MJMINVAL)[..., None]
+  # choose near end cap (sign of axis.n)
+  sgn = jnp.where(pn > 0, -1.0, 1.0)
+  cap = p2 + axis * (sgn * hl)[..., None]
+  # candidate points: rim point on near cap, 2 perpendicular rim points,
+  # and opposite rim point (covers flat-lying and edge-standing cases)
+  t = jnp.cross(axis, rim)
+  pts = jnp.stack([
+      cap + rim * r[..., None],
+      cap + t * r[..., None] * 0.7071 + rim * r[..., None] * 0.7071,
+      cap - t * r[..., None] * 0.7071 + rim * r[..., None] * 0.7071,
+      p2 - axis * (sgn * hl)[..., None] + rim * r[..., None],
+  ], axis=-2)
+  cdist = jnp.sum((pts - p1[..., None, :]) * n[..., None, :], -1)
+  pos = pts - n[..., None, :] * (0.5 * cdist)[..., None]
+  nrm = jnp.broadcast_to(n[..., None, :], pos.shape)
+  return cdist, pos, nrm
+
+
+def _sphere_sphere_raw(p1, r1, p2, r2):
+  delta = p2 - p1
+  cd = jnp.linalg.norm(delta, axis=-1)
+  n = delta / jnp.maximum(cd, _MJMINVAL)[..., None]
+  # degenerate: coincident centers -> z axis
+  n = jnp.where((cd > _MJMINVAL)[..., None], n,
+                jnp.broadcast_to(jnp.array([0., 0., 1.], p1.dtype), n.shape))
+  dist = cd - r1 - r2
+  pos = p1 + n * (r1 + 0.5 * dist)[..., None]
+  return dist, pos, n
+
+
+def _sphere_sphere(p1, m1, s1, p2, m2, s2):
+  dist, pos, n = _sphere_sphere_raw(p1, s1[..., 0], p2, s2[..., 0])
+  return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _capsule_ends(p, m, hl):
+  axis = m[..., :, 2]
+  return p - axis * hl[..., None], p + axis * hl[..., None]
+
+
+def _sphere_capsule(p1, m1, s1, p2, m2, s2):
+  a, b = _capsule_ends(p2, m2, s2[..., 1])
+  closest = jax.vmap(pmath.closest_segment_point)(a, b, p1)
+  dist, pos, n = _sphere_sphere_raw(p1, s1[..., 0], closest, s2[..., 0])
+  return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _capsule_capsule(p1, m1, s1, p2, m2, s2):
+  a0, a1 = _capsule_ends(p1, m1, s1[..., 1])
+  b0, b1 = _capsule_ends(p2, m2, s2[..., 1])
+  pa, pb = jax.vmap(pmath.closest_segment_segment)(a0, a1, b0, b1)
+  dist, pos, n = _sphere_sphere_raw(pa, s1[..., 0], pb, s2[..., 0])
+  return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _sphere_box_raw(center, r, pb, mb, sb):
+  """Sphere (center, r) vs box (pb, mb rotation, sb half-sizes)."""
+  local = jnp.einsum('...ji,...j->...i', mb, center - pb)
+  clamped = jnp.clip(local, -sb[..., :3], sb[..., :3])
+  inside = jnp.all(jnp.abs(local) < sb[..., :3], axis=-1)
+  # outside: closest point on surface
+  delta_out = local - clamped
+  d_out = jnp.linalg.norm(delta_out, axis=-1)
+  n_out = delta_out / jnp.maximum(d_out, _MJMINVAL)[..., None]
+  # inside: push out through nearest face
+  face_d = sb[..., :3] - jnp.abs(local)
+  ax = jnp.argmin(face_d, axis=-1)
+  sgn = jnp.sign(jnp.take_along_axis(local, ax[..., None], -1)[..., 0])
+  sgn = jnp.where(sgn == 0, 1.0, sgn)
+  n_in = jax.nn.one_hot(ax, 3, dtype=center.dtype) * sgn[..., None]
+  d_in = -jnp.take_along_axis(face_d, ax[..., None], -1)[..., 0]
+  surf_in = jnp.where(
+      jax.nn.one_hot(ax, 3, dtype=center.dtype) > 0.5,
+      sb[..., :3] * sgn[..., None], local)
+
+  dist_l = jnp.where(inside, d_in - r, d_out - r)
+  n_l = jnp.where(inside[..., None], n_in, n_out)
+  surf_l = jnp.where(inside[..., None], surf_in, clamped)
+  # world frame; normal points from sphere into box = -n_l (n_l points from
+  # box surface toward sphere center)
+  n_w = -jnp.einsum('...ij,...j->...i', mb, n_l)
+  surf_w = pb + jnp.einsum('...ij,...j->...i', mb, surf_l)
+  pos = surf_w + n_w * (0.5 * dist_l)[..., None]
+  return dist_l, pos, n_w
+
+
+def _sphere_box(p1, m1, s1, p2, m2, s2):
+  dist, pos, n = _sphere_box_raw(p1, s1[..., 0], p2, m2, s2)
+  return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _sphere_cylinder(p1, m1, s1, p2, m2, s2):
+  """Approximate: treat cylinder as a box only along its axis + radial clamp."""
+  r1 = s1[..., 0]
+  r2, hl = s2[..., 0], s2[..., 1]
+  axis = m2[..., :, 2]
+  rel = p1 - p2
+  z = jnp.sum(rel * axis, axis=-1)
+  radial = rel - axis * z[..., None]
+  rn = jnp.linalg.norm(radial, axis=-1)
+  zc = jnp.clip(z, -hl, hl)
+  rc = jnp.minimum(rn, r2)
+  rdir = radial / jnp.maximum(rn, _MJMINVAL)[..., None]
+  closest = p2 + axis * zc[..., None] + rdir * rc[..., None]
+  dist, pos, n = _sphere_sphere_raw(closest, jnp.zeros_like(r1), p1, r1)
+  # normal from cylinder-surface point toward sphere -> flip (geom1=sphere)
+  return dist[..., None], pos[..., None, :], (-n)[..., None, :]
+
+
+def _capsule_box(p1, m1, s1, p2, m2, s2):
+  a, b = _capsule_ends(p1, m1, s1[..., 1])
+  r = s1[..., 0]
+  d1, pos1, n1 = _sphere_box_raw(a, r, p2, m2, s2)
+  d2, pos2, n2 = _sphere_box_raw(b, r, p2, m2, s2)
+  dist = jnp.stack([d1, d2], -1)
+  pos = jnp.stack([pos1, pos2], -2)
+  nrm = jnp.stack([n1, n2], -2)
+  return dist, pos, nrm
+
+
+def _box_box(p1, m1, s1, p2, m2, s2):
+  """Approximate box-box: corners of each box vs the other box's faces
+  (8 candidates: 4 deepest corners of box1 in box2 + 4 of box2 in box1)."""
+  signs = jnp.asarray(
+      [[x, y, z] for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)],
+      dtype=p1.dtype)
+
+  def corners_vs_box(pa, ma, sa, pb, mb, sb, flip):
+    corners = pa[..., None, :] + jnp.einsum(
+        '...ij,...kj->...ki', ma, signs * sa[..., None, :3])
+    d, pos, n = jax.vmap(
+        lambda c: _sphere_box_raw(c, jnp.zeros(c.shape[:-1], c.dtype), pb, mb, sb),
+        in_axes=-2, out_axes=(-1, -2, -2))(corners)
+    idx = jnp.argsort(d, axis=-1)[..., :4]
+    d = jnp.take_along_axis(d, idx, -1)
+    pos = jnp.take_along_axis(pos, idx[..., None], -2)
+    n = jnp.take_along_axis(n, idx[..., None], -2)
+    return d, pos, jnp.where(flip, -n, n)
+
+  d1, pos1, n1 = corners_vs_box(p1, m1, s1, p2, m2, s2, False)
+  d2, pos2, n2 = corners_vs_box(p2, m2, s2, p1, m1, s1, True)
+  return (jnp.concatenate([d1, d2], -1), jnp.concatenate([pos1, pos2], -2),
+          jnp.concatenate([n1, n2], -2))
+
+
+_COLLIDERS = {
+    (GeomType.PLANE, GeomType.SPHERE): _plane_sphere,
+    (GeomType.PLANE, GeomType.CAPSULE): _plane_capsule,
+    (GeomType.PLANE, GeomType.BOX): _plane_box,
+    (GeomType.PLANE, GeomType.ELLIPSOID): _plane_ellipsoid,
+    (GeomType.PLANE, GeomType.CYLINDER): _plane_cylinder,
+    (GeomType.SPHERE, GeomType.SPHERE): _sphere_sphere,
+    (GeomType.SPHERE, GeomType.CAPSULE): _sphere_capsule,
+    (GeomType.SPHERE, GeomType.CYLINDER): _sphere_cylinder,
+    (GeomType.SPHERE, GeomType.BOX): _sphere_box,
+    (GeomType.CAPSULE, GeomType.CAPSULE): _capsule_capsule,
+    (GeomType.CAPSULE, GeomType.BOX): _capsule_box,
+    (GeomType.BOX, GeomType.BOX): _box_box,
+}
+
+
+def _mix_params(m: Model, g1: np.ndarray, g2: np.ndarray):
+  """Contact parameter combination, mirroring mj_contactParam."""
+  s = m.stat
+  p1 = s.geom_priority[g1]
+  p2 = s.geom_priority[g2]
+  f1, f2 = m.geom_friction[g1], m.geom_friction[g2]
+  sr1, sr2 = m.geom_solref[g1], m.geom_solref[g2]
+  si1, si2 = m.geom_solimp[g1], m.geom_solimp[g2]
+  mix1, mix2 = m.geom_solmix[g1], m.geom_solmix[g2]
+
+  # equal priority: solmix-weighted average / max friction
+  denom = mix1 + mix2
+  w1 = jnp.where(denom > _MJMINVAL, mix1 / jnp.maximum(denom, _MJMINVAL), 0.5)
+  w1 = jnp.where((mix1 < _MJMINVAL) & (mix2 < _MJMINVAL), 0.5, w1)
+  w1 = jnp.where((mix1 < _MJMINVAL) & (mix2 >= _MJMINVAL), 0.0, w1)
+  w1 = jnp.where((mix1 >= _MJMINVAL) & (mix2 < _MJMINVAL), 1.0, w1)
+  w2 = 1.0 - w1
+  solref_mix = jnp.where(
+      (sr1[:, :1] > 0) & (sr2[:, :1] > 0),
+      w1[:, None] * sr1 + w2[:, None] * sr2,
+      jnp.minimum(sr1, sr2))
+  solimp_mix = w1[:, None] * si1 + w2[:, None] * si2
+  fric_mix = jnp.maximum(f1, f2)
+
+  # priority override (static selection)
+  use1 = (p1 > p2)[:, None]
+  use2 = (p2 > p1)[:, None]
+  eq = ~(use1 | use2)
+  use1 = jnp.asarray(use1)
+  use2 = jnp.asarray(use2)
+  eq = jnp.asarray(eq)
+  solref = jnp.where(eq, solref_mix, jnp.where(use1, sr1, sr2))
+  solimp = jnp.where(eq, solimp_mix, jnp.where(use1, si1, si2))
+  fric3 = jnp.where(eq, fric_mix, jnp.where(use1, f1, f2))
+  friction = jnp.stack(
+      [fric3[:, 0], fric3[:, 0], fric3[:, 1], fric3[:, 2], fric3[:, 2]], -1)
+
+  margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
+  gap = jnp.maximum(m.geom_gap[g1], m.geom_gap[g2])
+  return friction, solref, solimp, margin - gap, margin
+
+
+def collision(m: Model, d: Data) -> Data:
+  """Run all narrowphase groups; fill the fixed-capacity Contact set."""
+  s = m.stat
+  if s.pairs.ncon_max == 0:
+    return d
+  con = d.contact
+  dist = con.dist
+  pos = con.pos
+  frame = con.frame
+  friction = con.friction
+  solref = con.solref
+  solimp = con.solimp
+  includemargin = con.includemargin
+
+  for key, (g1s, g2s, base, npts) in s.pairs.groups.items():
+    fn = _COLLIDERS[key]
+    n = len(g1s)
+    p1, m1_, s1_ = d.geom_xpos[g1s], d.geom_xmat[g1s], m.geom_size[g1s]
+    p2, m2_, s2_ = d.geom_xpos[g2s], d.geom_xmat[g2s], m.geom_size[g2s]
+    cd, cp, cn = fn(p1, m1_, s1_, p2, m2_, s2_)
+    cd = cd.reshape(n * npts)
+    cp = cp.reshape(n * npts, 3)
+    cn = cn.reshape(n * npts, 3)
+    fr = pmath.make_tangent_frame(cn)
+
+    fric, sr, si, inc, marg = _mix_params(m, g1s, g2s)
+    rep = lambda x: jnp.repeat(x, npts, axis=0)
+    # margin shifts the activation threshold: contact is included when
+    # dist < margin; its constraint penetration reference uses includemargin.
+    sl = slice(base, base + n * npts)
+    dist = dist.at[sl].set(cd)
+    pos = pos.at[sl].set(cp)
+    frame = frame.at[sl].set(fr)
+    friction = friction.at[sl].set(rep(fric))
+    solref = solref.at[sl].set(rep(sr))
+    solimp = solimp.at[sl].set(rep(si))
+    includemargin = includemargin.at[sl].set(rep(inc))
+
+  con = con.replace(dist=dist, pos=pos, frame=frame, friction=friction,
+                    solref=solref, solimp=solimp, includemargin=includemargin)
+  ncon_active = jnp.sum((dist < includemargin).astype(jnp.int32))
+  return d.replace(contact=con, ncon_active=ncon_active)

@@ -244,6 +244,9 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
       sensor_adr=m.sensor_adr.copy(),
       sensor_dim=m.sensor_dim.copy(),
       sensor_intprm=m.sensor_intprm.copy(),
+      con_geom1=contact_slot_meta(m, pairs)[0],
+      con_geom2=contact_slot_meta(m, pairs)[1],
+      con_dim=contact_slot_meta(m, pairs)[2],
       integrator=int(m.opt.integrator),
       cone=int(m.opt.cone),
       iterations=int(m.opt.iterations),
@@ -341,22 +344,6 @@ def make_data(model: Model, dtype=jnp.float32) -> Data:
   s = model.stat
   z = lambda *shape: jnp.zeros(shape, dtype=dtype)
   ncon = max(s.pairs.ncon_max, 1)
-  # static slot meta
-  geom1 = np.zeros(ncon, np.int32)
-  geom2 = np.zeros(ncon, np.int32)
-  dim = np.ones(ncon, np.int32)
-  for _, (g1s, g2s, base, npts) in s.pairs.groups.items():
-    for i, (g1, g2) in enumerate(zip(g1s, g2s)):
-      p1, p2 = s.geom_priority[g1], s.geom_priority[g2]
-      if p1 != p2:
-        condim = s.geom_condim[g1] if p1 > p2 else s.geom_condim[g2]
-      else:
-        condim = max(s.geom_condim[g1], s.geom_condim[g2])
-      sl = base + i * npts
-      geom1[sl:sl + npts] = g1
-      geom2[sl:sl + npts] = g2
-      dim[sl:sl + npts] = condim
-
   contact = Contact(
       dist=jnp.full((ncon,), 1e10, dtype=dtype),
       pos=z(ncon, 3),
@@ -365,9 +352,6 @@ def make_data(model: Model, dtype=jnp.float32) -> Data:
       solref=z(ncon, 2),
       solimp=z(ncon, 5),
       includemargin=z(ncon),
-      geom1=geom1,
-      geom2=geom2,
-      dim=dim,
   )
 
   return Data(

@@ -213,6 +213,10 @@ class ModelStatic(StaticBase):
 
   # collision
   pairs: CollisionPairs
+  # static per-contact-slot metadata
+  con_geom1: np.ndarray
+  con_geom2: np.ndarray
+  con_dim: np.ndarray
 
   # names (for debugging / find_* APIs live at entity layer)
   body_names: tuple
@@ -298,9 +302,6 @@ class Contact:
   solref: jax.Array  # (ncon, 2)
   solimp: jax.Array  # (ncon, 5)
   includemargin: jax.Array  # (ncon,)
-  geom1: np.ndarray = struct.field(pytree_node=False, default=None)
-  geom2: np.ndarray = struct.field(pytree_node=False, default=None)
-  dim: np.ndarray = struct.field(pytree_node=False, default=None)
 
 
 @struct.dataclass

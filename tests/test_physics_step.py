@@ -1,0 +1,218 @@
+"""Oracle tests for the constrained pipeline: collision -> constraint ->
+Newton solver -> integrators, plus full-rollout trajectory parity.
+
+This is the BASELINE.json config-1 check: zero-action / random-ctrl
+trajectories must match CPU MuJoCo under fixed seed (here: to float64
+round-off over hundreds of steps)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+from mjlab_tpu.physics import io
+from mjlab_tpu.physics.forward import forward, step
+
+SCENES = {
+    'sphere_rest': """
+<mujoco>
+  <worldbody>
+    <geom type="plane" size="10 10 0.1" friction="1.0 0.005 0.0001"/>
+    <body pos="0 0 0.099"><freejoint/>
+      <geom type="sphere" size="0.1" mass="1" friction="0.8 0.01 0.001"/>
+    </body>
+  </worldbody>
+</mujoco>""",
+    'capsule_slide': """
+<mujoco>
+  <worldbody>
+    <geom type="plane" size="10 10 0.1"/>
+    <body pos="0 0 0.0395" euler="0 90 0"><freejoint/>
+      <geom type="capsule" size="0.04 0.15" mass="0.5"/>
+    </body>
+  </worldbody>
+</mujoco>""",
+    'box_tilt': """
+<mujoco>
+  <worldbody>
+    <geom type="plane" size="10 10 0.1"/>
+    <body pos="0 0 0.048" euler="2 1 0"><freejoint/>
+      <geom type="box" size="0.15 0.1 0.05" mass="1"/>
+    </body>
+  </worldbody>
+</mujoco>""",
+    'hinge_limit': """
+<mujoco>
+  <worldbody>
+    <body pos="0 0 2">
+      <joint name="pin" type="hinge" axis="0 1 0" range="-0.3 0.3"
+             frictionloss="0.4" damping="0.01"/>
+      <geom type="capsule" fromto="0 0 0 0.5 0 0" size="0.02" mass="0.3"/>
+    </body>
+  </worldbody>
+</mujoco>""",
+    'spheres_stack': """
+<mujoco>
+  <worldbody>
+    <geom type="plane" size="10 10 0.1"/>
+    <body pos="0 0 0.1"><freejoint/>
+      <geom type="sphere" size="0.1" mass="1"/>
+    </body>
+    <body pos="0.02 0 0.3"><freejoint/>
+      <geom type="sphere" size="0.1" mass="1"/>
+    </body>
+  </worldbody>
+</mujoco>""",
+}
+
+ROBOT = """
+<mujoco>
+  <option timestep="0.002" integrator="{integrator}"/>
+  <worldbody>
+    <geom type="plane" size="10 10 0.1"/>
+    <body name="base" pos="0 0 0.4">
+      <freejoint/>
+      <geom type="box" size="0.1 0.05 0.03" mass="2"/>
+      <site name="imu" pos="0.01 0.02 0.01"/>
+      <body name="thigh" pos="0.1 0 0">
+        <joint name="hip" type="hinge" axis="0 1 0" range="-1.5 1.5"
+               damping="0.5" armature="0.02" frictionloss="0.1"/>
+        <geom type="capsule" fromto="0 0 0 0 0 -0.2" size="0.03" mass="0.5"/>
+        <body name="shin" pos="0 0 -0.2">
+          <joint name="knee" type="hinge" axis="0 1 0" range="-2.0 0"
+                 damping="0.3" armature="0.01"/>
+          <geom type="capsule" fromto="0 0 0 0 0 -0.18" size="0.025" mass="0.3"/>
+          <geom name="foot" type="sphere" pos="0 0 -0.2" size="0.03" mass="0.1"
+                friction="0.9 0.02 0.001"/>
+        </body>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <position joint="hip" kp="40" kv="2" ctrlrange="-1.5 1.5" forcerange="-30 30"/>
+    <position joint="knee" kp="40" kv="2" ctrlrange="-2 0" forcerange="-30 30"/>
+  </actuator>
+  <sensor>
+    <gyro site="imu"/>
+    <velocimeter site="imu"/>
+    <accelerometer site="imu"/>
+    <framepos objtype="site" objname="imu"/>
+    <framequat objtype="body" objname="shin"/>
+    <framelinvel objtype="body" objname="shin"/>
+    <frameangvel objtype="body" objname="shin"/>
+    <framezaxis objtype="body" objname="base"/>
+    <jointpos joint="hip"/>
+    <jointvel joint="knee"/>
+    <subtreecom body="base"/>
+  </sensor>
+</mujoco>
+"""
+
+
+def _make(xml, iterations=30):
+  mj = mujoco.MjModel.from_xml_string(xml)
+  mj.opt.solver = mujoco.mjtSolver.mjSOL_NEWTON
+  mj.opt.iterations = iterations
+  mj.opt.ls_iterations = 50
+  model = io.put_model(mj, dtype=jnp.float64)
+  model = model.replace(stat=dataclasses.replace(
+      model.stat, iterations=iterations, ls_iterations=50))
+  return mj, model
+
+
+@pytest.mark.parametrize('scene', sorted(SCENES))
+@pytest.mark.parametrize('seed', [0, 1])
+def test_constrained_forward_matches_mujoco(scene, seed):
+  mj, model = _make(SCENES[scene])
+  md = mujoco.MjData(mj)
+  rng = np.random.default_rng(seed)
+  md.qvel[:] = rng.uniform(-0.5, 0.5, mj.nv)
+  if scene == 'hinge_limit':
+    md.qpos[:] = rng.uniform(-0.35, 0.35, mj.nq)
+  mujoco.mj_forward(mj, md)
+
+  d = io.make_data(model, dtype=jnp.float64)
+  d = d.replace(qpos=jnp.asarray(md.qpos.copy()),
+                qvel=jnp.asarray(md.qvel.copy()))
+  d = forward(model, d)
+  np.testing.assert_allclose(d.qacc, md.qacc, atol=5e-7)
+
+
+@pytest.mark.parametrize('integrator', ['Euler', 'implicitfast'])
+def test_rollout_trajectory_parity(integrator):
+  mj, model = _make(ROBOT.format(integrator=integrator))
+  md = mujoco.MjData(mj)
+  d = io.make_data(model, dtype=jnp.float64)
+  jstep = jax.jit(step)
+  for t in range(300):
+    ctrl = np.array([0.5 * np.sin(t * 0.01), -0.8 + 0.3 * np.cos(t * 0.013)])
+    md.ctrl[:] = ctrl
+    mujoco.mj_step(mj, md)
+    d = jstep(model, d.replace(ctrl=jnp.asarray(ctrl)))
+  np.testing.assert_allclose(d.qpos, md.qpos, atol=1e-9)
+  np.testing.assert_allclose(d.qvel, md.qvel, atol=1e-9)
+  np.testing.assert_allclose(d.time, md.time, atol=1e-12)
+
+
+def test_sensors_match_mujoco():
+  mj, model = _make(ROBOT.format(integrator='Euler'))
+  md = mujoco.MjData(mj)
+  rng = np.random.default_rng(7)
+  md.qpos[2] += 0.2
+  md.qvel[:] = rng.uniform(-1, 1, mj.nv)
+  md.ctrl[:] = [0.4, -0.5]
+  mujoco.mj_forward(mj, md)
+
+  d = io.make_data(model, dtype=jnp.float64)
+  d = d.replace(qpos=jnp.asarray(md.qpos.copy()),
+                qvel=jnp.asarray(md.qvel.copy()),
+                ctrl=jnp.asarray(md.ctrl.copy()))
+  d = forward(model, d)
+  ours = np.asarray(d.sensordata)
+  theirs = md.sensordata.copy()
+  # quaternions: compare up to sign
+  adr = mj.sensor_adr[4]
+  if np.dot(ours[adr:adr + 4], theirs[adr:adr + 4]) < 0:
+    theirs[adr:adr + 4] *= -1
+  np.testing.assert_allclose(ours, theirs, atol=1e-8)
+
+
+def test_contact_sensor_netforce():
+  xml = """
+<mujoco>
+  <worldbody>
+    <geom name="floor" type="plane" size="10 10 0.1"/>
+    <body name="ball" pos="0 0 0.095"><freejoint/>
+      <geom name="ballg" type="sphere" size="0.1" mass="1"/>
+    </body>
+  </worldbody>
+  <sensor>
+    <contact name="feet" body1="ball" data="found force" reduce="netforce"/>
+  </sensor>
+</mujoco>"""
+  mj, model = _make(xml)
+  md = mujoco.MjData(mj)
+  mujoco.mj_forward(mj, md)
+
+  d = io.make_data(model, dtype=jnp.float64)
+  d = forward(model, d)
+  ours = np.asarray(d.sensordata)
+  np.testing.assert_allclose(ours, md.sensordata, rtol=1e-6, atol=1e-8)
+  # found = 1, upward force roughly mass * g once settled is not exact at
+  # first step, but the oracle comparison above is the real check.
+  assert ours[0] == 1.0
+
+
+def test_zero_action_rollout_G1_like_stability():
+  """A floating-base articulated model dropped from rest settles without
+  NaNs and stays near the floor."""
+  mj, model = _make(ROBOT.format(integrator='implicitfast'), iterations=10)
+  d = io.make_data(model, dtype=jnp.float64)
+  jstep = jax.jit(step)
+  for _ in range(500):
+    d = jstep(model, d)
+  assert bool(jnp.all(jnp.isfinite(d.qpos)))
+  assert 0.0 < float(d.qpos[2]) < 0.5
