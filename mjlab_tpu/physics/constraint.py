@@ -203,37 +203,47 @@ def make_efc(m: Model, d: Data):
     vel_t = jt_f @ qvel  # (ncon, 3)
     vel_r = jr_f @ qvel
 
-    for c in range(ncon):
-      base = int(lay.con_base[c])
-      nrows = int(lay.con_rows[c])
-      dim = int(s.con_dim[c])
-      if nrows == 1:
-        r = jnp.maximum((1.0 - imp[c]) / imp[c] * invw[c], _MINVAL)
-        J = J.at[base].set(jt_f[c, 0])
-        pos = pos.at[base].set(p[c])
-        D = D.at[base].set(1.0 / r)
-        aref = aref.at[base].set(-b[c] * vel_t[c, 0] - k[c] * imp[c] * p[c])
-        active = active.at[base].set(act[c])
-        oneside = oneside.at[base].set(True)
+    # vectorize per condim group (slots of equal condim share row structure)
+    for dim in sorted(set(int(x) for x in s.con_dim[:ncon])):
+      sl = np.nonzero(s.con_dim[:ncon] == dim)[0]
+      if len(sl) == 0:
         continue
-      # pyramidal: for each friction dim i: rows Jn +/- mu_i * Jt_i
-      axes = jnp.concatenate([jt_f[c, 1:dim], jr_f[c, :max(dim - 3, 0)]], 0)
-      vels = jnp.concatenate([vel_t[c, 1:dim], vel_r[c, :max(dim - 3, 0)]], 0)
-      mu = con.friction[c, :dim - 1]
-      for i in range(dim - 1):
-        for sidx, sign in enumerate((1.0, -1.0)):
-          row = base + 2 * i + sidx
-          Jrow = jt_f[c, 0] + sign * mu[i] * axes[i]
-          vrow = vel_t[c, 0] + sign * mu[i] * vels[i]
-          dA = (invw[c] * (1.0 + mu[i] * mu[i]) * 2.0 * mu[i] * mu[i]
-                / m.opt.impratio.astype(dtype))
-          r = jnp.maximum((1.0 - imp[c]) / imp[c] * dA, _MINVAL)
-          J = J.at[row].set(Jrow)
-          pos = pos.at[row].set(p[c])
-          D = D.at[row].set(1.0 / r)
-          aref = aref.at[row].set(-b[c] * vrow - k[c] * imp[c] * p[c])
-          active = active.at[row].set(act[c])
-          oneside = oneside.at[row].set(True)
+      nsl = len(sl)
+      if dim == 1:
+        rows = lay.con_base[sl]
+        r = jnp.maximum((1.0 - imp[sl]) / imp[sl] * invw[sl], _MINVAL)
+        J = J.at[rows].set(jt_f[sl, 0])
+        pos = pos.at[rows].set(p[sl])
+        D = D.at[rows].set(1.0 / r)
+        aref = aref.at[rows].set(-b[sl] * vel_t[sl, 0] - k[sl] * imp[sl] * p[sl])
+        active = active.at[rows].set(act[sl])
+        oneside = oneside.at[rows].set(True)
+        continue
+      # pyramidal rows: for friction dim i, rows (Jn + mu_i T_i, Jn - mu_i T_i)
+      k_rows = 2 * (dim - 1)
+      rows = (lay.con_base[sl][:, None] + np.arange(k_rows)[None, :]).ravel()
+      axes = jnp.concatenate(
+          [jt_f[sl, 1:min(dim, 3)], jr_f[sl, :max(dim - 3, 0)]], 1)  # (nsl, dim-1, nv)
+      vels = jnp.concatenate(
+          [vel_t[sl, 1:min(dim, 3)], vel_r[sl, :max(dim - 3, 0)]], 1)
+      mu = con.friction[sl, :dim - 1]  # (nsl, dim-1)
+      signs = jnp.asarray([1.0, -1.0], dtype)
+      Jrows = (jt_f[sl, 0][:, None, None, :]
+               + signs[None, None, :, None] * (mu[..., None] * axes)[:, :, None, :])
+      vrows = (vel_t[sl, 0][:, None, None]
+               + signs[None, None, :] * (mu * vels)[:, :, None])
+      dA = (invw[sl][:, None] * (1.0 + mu * mu) * 2.0 * mu * mu
+            / m.opt.impratio.astype(dtype))  # (nsl, dim-1)
+      r = jnp.maximum((1.0 - imp[sl][:, None]) / imp[sl][:, None] * dA, _MINVAL)
+      D_rows = jnp.repeat((1.0 / r)[:, :, None], 2, axis=2).reshape(nsl * k_rows)
+      aref_rows = (-b[sl][:, None, None] * vrows
+                   - (k[sl] * imp[sl] * p[sl])[:, None, None]).reshape(nsl * k_rows)
+      J = J.at[rows].set(Jrows.reshape(nsl * k_rows, nv))
+      pos = pos.at[rows].set(jnp.repeat(p[sl], k_rows))
+      D = D.at[rows].set(D_rows)
+      aref = aref.at[rows].set(aref_rows)
+      active = active.at[rows].set(jnp.repeat(act[sl], k_rows))
+      oneside = oneside.at[rows].set(True)
 
   if s.disableflags & DisableBit.CONSTRAINT:
     active = jnp.zeros_like(active)

@@ -146,20 +146,22 @@ def contact_force(m: Model, d: Data) -> jax.Array:
   force = jnp.zeros((ncon, 6), dtype)
   if not s.pairs.ncon_max:
     return force
-  for c in range(s.pairs.ncon_max):
-    base = int(lay.con_base[c])
-    nrows = int(lay.con_rows[c])
-    dim = int(s.con_dim[c])
-    if nrows == 1:
-      force = force.at[c, 0].set(d.efc_force[base])
+  nc = s.pairs.ncon_max
+  for dim in sorted(set(int(x) for x in s.con_dim[:nc])):
+    sl = np.nonzero(s.con_dim[:nc] == dim)[0]
+    if len(sl) == 0:
       continue
-    rows = d.efc_force[base:base + nrows]
-    mu = d.contact.friction[c]
-    fn = jnp.sum(rows)
-    force = force.at[c, 0].set(fn)
-    for i in range(dim - 1):
-      ft = mu[i] * (rows[2 * i] - rows[2 * i + 1])
-      force = force.at[c, 1 + i].set(ft)
+    if dim == 1:
+      force = force.at[sl, 0].set(d.efc_force[lay.con_base[sl]])
+      continue
+    k = 2 * (dim - 1)
+    rows = d.efc_force[
+        (lay.con_base[sl][:, None] + np.arange(k)[None, :])]  # (nsl, k)
+    pairs = rows.reshape(len(sl), dim - 1, 2)
+    mu = d.contact.friction[sl, :dim - 1]
+    force = force.at[sl, 0].set(jnp.sum(rows, axis=1))
+    force = force.at[sl[:, None], 1 + np.arange(dim - 1)[None, :]].set(
+        mu * (pairs[..., 0] - pairs[..., 1]))
   return force
 
 
