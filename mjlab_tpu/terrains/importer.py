@@ -1,0 +1,69 @@
+"""Terrain importer: plane or generated sub-terrain grid.
+
+Capability mirror of reference src/mjlab/terrains/terrain_importer.py.
+Round 1 implements the plane terrain and grid env-origin layout; the
+procedural generator (stairs/pyramids grid with curriculum rows) lands in
+mjlab_tpu/terrains/generator.py and plugs in through the same cfg.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import mujoco
+import numpy as np
+
+
+@dataclasses.dataclass
+class TerrainImporterCfg:
+  terrain_type: str = 'plane'  # 'plane' | 'generator'
+  terrain_generator: 'object | None' = None
+  env_spacing: float = 2.0
+  color: tuple = (0.2, 0.3, 0.4)
+
+
+class TerrainImporter:
+  def __init__(self, cfg: TerrainImporterCfg, num_envs: int):
+    self.cfg = cfg
+    self.num_envs = num_envs
+    self.spec = mujoco.MjSpec()
+    if cfg.terrain_type == 'plane':
+      self.spec.worldbody.add_geom(
+          name='floor', type=mujoco.mjtGeom.mjGEOM_PLANE,
+          size=[0.0, 0.0, 0.05], rgba=list(cfg.color) + [1.0])
+      # grid origins at z = 0
+      side = int(np.ceil(np.sqrt(num_envs)))
+      idx = np.arange(num_envs)
+      xy = np.stack([idx % side, idx // side], -1).astype(np.float64)
+      xy = (xy - xy.mean(axis=0)) * cfg.env_spacing
+      self.env_origins = np.concatenate([xy, np.zeros((num_envs, 1))], -1)
+      self.terrain_levels = np.zeros(num_envs, np.int32)
+      self.terrain_types = np.zeros(num_envs, np.int32)
+    elif cfg.terrain_type == 'generator':
+      if cfg.terrain_generator is None:
+        raise ValueError('terrain_generator cfg required')
+      from mjlab_tpu.terrains.generator import TerrainGenerator
+      gen = TerrainGenerator(cfg.terrain_generator)
+      gen.build(self.spec)
+      self.generator = gen
+      # curriculum origins: env e starts at a random level row, type striped
+      # over columns (reference terrain_importer.py:203-223)
+      rng = np.random.default_rng(0)
+      num_rows, num_cols = gen.origins.shape[:2]
+      max_init = max(0, int(np.ceil(num_rows * getattr(
+          cfg.terrain_generator, 'max_init_terrain_level_ratio', 0.5))))
+      self.terrain_levels = rng.integers(0, max(max_init, 1), num_envs)
+      self.terrain_types = (np.arange(num_envs) % num_cols).astype(np.int32)
+      self.env_origins = gen.origins[self.terrain_levels, self.terrain_types]
+    else:
+      raise ValueError(f'unknown terrain_type {cfg.terrain_type!r}')
+
+  def update_env_origins(self, env_mask: np.ndarray, move_up, move_down):
+    """Curriculum promotion/demotion (generator terrains).
+
+    Functional variant used by the curriculum manager; returns new origins
+    as device arrays is handled at the env layer (origins are static here
+    only for plane terrains)."""
+    raise NotImplementedError(
+        'curriculum origin updates are handled functionally at the env '
+        'layer (see envs/mdp/curriculums.py)')
