@@ -1,0 +1,330 @@
+"""Manager-based RL environment: one jitted XLA program per step.
+
+Capability mirror of reference src/mjlab/envs/manager_based_rl_env.py with
+the TPU-idiomatic core: the full RL step (decimation physics loop, reward,
+termination, branchless masked resets, command/event updates, observation
+pipeline) is a pure function over EnvState, compiled once with jax.jit.
+The reference's host-sync reset pattern (`reset_buf.nonzero()`,
+manager_based_rl_env.py:128-132) is replaced by masked full-batch updates;
+the whole loop is scannable, which is what lets the PPO learner run
+rollouts fully on device (mjlab_tpu/rl/ppo.py).
+
+Step order matches the reference (manager_based_rl_env.py:106-147):
+decimation loop -> episode_length++ -> terminations -> rewards -> masked
+reset (+forward refresh) -> command compute -> interval events -> obs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mjlab_tpu.envs.types import EnvCtx, EnvState
+from mjlab_tpu.managers.command_manager import CommandManager
+from mjlab_tpu.managers.managers import (
+    ActionManager,
+    CurriculumManager,
+    EventManager,
+    ObservationManager,
+    RewardManager,
+    TerminationManager,
+)
+from mjlab_tpu.physics import pipeline as phys_pipeline
+from mjlab_tpu.scene.scene import Scene, SceneCfg
+from mjlab_tpu.sim.sim import (
+    SimulationCfg,
+    expand_model_fields,
+    make_batched_data,
+    model_vmap_axes,
+)
+
+
+@dataclasses.dataclass
+class ManagerBasedRlEnvCfg:
+  scene: SceneCfg = None
+  sim: SimulationCfg = dataclasses.field(default_factory=SimulationCfg)
+  decimation: int = 4
+  episode_length_s: float = 20.0
+  seed: int = 42
+  actions: Any = None
+  observations: Any = None
+  rewards: Any = None
+  terminations: Any = None
+  events: Any = None
+  commands: Any = None
+  curriculum: Any = None
+
+
+class ManagerBasedRlEnv:
+  """Vectorized RL env. Exposes both a functional core
+  (init_fn/step_fn, scannable) and a stateful gym-like API."""
+
+  is_vector_env = True
+
+  def __init__(self, cfg: ManagerBasedRlEnvCfg, device=None):
+    self.cfg = cfg
+    self.num_envs = cfg.scene.num_envs
+    self.device = device
+
+    # --- build scene + model ---
+    self.scene = Scene(cfg.scene)
+    cfg.sim.mujoco.edit_spec(self.scene.spec)
+    base_model = self.scene.initialize()
+    self.physics_dt = cfg.sim.mujoco.timestep
+    self.step_dt = cfg.decimation * self.physics_dt
+    self.max_episode_length = int(
+        math.ceil(cfg.episode_length_s / self.step_dt))
+
+    # --- managers ---
+    self.event_manager = EventManager(cfg.events, self.scene, self.num_envs,
+                                      self.step_dt)
+    dr_fields = self.event_manager.domain_randomization_fields()
+    self.model = expand_model_fields(base_model, dr_fields, self.num_envs)
+    self._model_axes = model_vmap_axes(self.model, base_model)
+    self._phys_step = jax.vmap(phys_pipeline.step,
+                               in_axes=(self._model_axes, 0))
+    self._phys_forward = jax.vmap(phys_pipeline.forward,
+                                  in_axes=(self._model_axes, 0))
+
+    self.command_manager = CommandManager(cfg.commands, self.scene,
+                                          self.num_envs)
+    self.action_manager = ActionManager(cfg.actions, self.scene,
+                                        self.num_envs)
+    self.reward_manager = RewardManager(cfg.rewards, self.scene)
+    self.termination_manager = TerminationManager(cfg.terminations,
+                                                  self.scene)
+    self.curriculum_manager = CurriculumManager(cfg.curriculum, self.scene)
+
+    # --- bootstrap state (also used to probe observation dims) ---
+    key = jax.random.PRNGKey(cfg.seed)
+    key, k_start, k_cmd, k_ev = jax.random.split(key, 4)
+    data = make_batched_data(self.model, self.num_envs)
+    model, data = self.event_manager.apply_startup(self.model, data, k_start)
+    self.model = model
+    data = self._phys_forward(model, data)
+    cmd_state = self.command_manager.init_state(k_cmd)
+    ev_state = self.event_manager.init_state(k_ev)
+
+    probe_state = EnvState(
+        model=model, data=data, rng=key,
+        episode_length=jnp.zeros(self.num_envs, jnp.int32),
+        common_step=jnp.zeros((), jnp.int32),
+        actions=jnp.zeros((self.num_envs, self.action_manager.total_dim)),
+        prev_actions=jnp.zeros(
+            (self.num_envs, self.action_manager.total_dim)),
+        command=cmd_state, obs={}, event=ev_state,
+        reward_sums=jnp.zeros(
+            (self.num_envs, max(len(self.reward_manager.terms), 1))),
+        curriculum=self.curriculum_manager.init_state())
+
+    def probe(func, params):
+      ctx = self._make_ctx(probe_state)
+      return func(ctx, **params).shape
+
+    self.observation_manager = ObservationManager(
+        cfg.observations, self.scene, self.num_envs, probe)
+    probe_state = probe_state.replace(
+        obs=self.observation_manager.init_state())
+    self._template_state = probe_state
+
+    # --- compiled functions ---
+    self._step_jit = jax.jit(self._step_fn, donate_argnums=(0,))
+    self._reset_jit = jax.jit(self._reset_fn)
+    self._state: EnvState | None = None
+
+  # ------------------------------------------------------------------
+  # context
+  # ------------------------------------------------------------------
+  def _make_ctx(self, state: EnvState) -> EnvCtx:
+    ctx = EnvCtx(
+        model=state.model, data=state.data, scene=self.scene, state=state,
+        actions=state.actions, prev_actions=state.prev_actions,
+        commands=self.command_manager.values(state.command),
+        episode_length=state.episode_length,
+        step_dt=self.step_dt, physics_dt=self.physics_dt,
+        max_episode_length=self.max_episode_length,
+        num_envs=self.num_envs,
+        env_origins=self.scene.env_origins,
+        terminated=jnp.zeros(self.num_envs, bool))
+    return ctx
+
+  # ------------------------------------------------------------------
+  # functional core
+  # ------------------------------------------------------------------
+  def _reset_masked(self, state: EnvState, mask: jax.Array,
+                    term_info: dict, key: jax.Array):
+    """Branchless masked reset of selected envs + log extraction."""
+    n = self.num_envs
+    k_ev, k_cmd, k_obs, k_curr = jax.random.split(key, 4)
+    ctx = self._make_ctx(state)
+    extras = {}
+    cnt = jnp.sum(mask.astype(jnp.float32))
+    safe_cnt = jnp.maximum(cnt, 1.0)
+
+    # curriculum (runs on reset envs, reference manager_based_rl_env.py:205)
+    curr_state, curr_metrics = self.curriculum_manager.compute(
+        ctx, state.curriculum, mask)
+    extras.update({k: jnp.asarray(v, jnp.float32)
+                   for k, v in curr_metrics.items()})
+
+    # scene reset: clear per-entity forces/ctrl
+    data = state.data
+    for name in self.scene.entities:
+      data = self.scene[name].reset(data, mask)
+
+    # reset events (may touch data and per-env model fields)
+    ctx = dataclasses.replace(ctx, data=data)
+    data, model = self.event_manager.apply_reset(
+        ctx, data, state.model, mask, k_ev, state.common_step)
+
+    # command reset + metric logging
+    ctx = dataclasses.replace(ctx, data=data, model=model)
+    cmd_state, cmd_metrics = self.command_manager.reset(
+        state.command, ctx, mask, k_cmd)
+    for k, v in cmd_metrics.items():
+      extras[k] = jnp.sum(jnp.where(mask, v, 0.0)) / safe_cnt
+
+    # observation buffers
+    obs_state = self.observation_manager.reset(state.obs, mask, k_obs)
+
+    # episode logs
+    names = self.reward_manager.active_terms
+    for i, name in enumerate(names):
+      v = state.reward_sums[:, i] / self.cfg.episode_length_s
+      extras[f'Episode_Reward/{name}'] = jnp.sum(
+          jnp.where(mask, v, 0.0)) / safe_cnt
+    for name, flag in term_info.items():
+      extras[f'Episode_Termination/{name}'] = jnp.sum(
+          (flag & mask).astype(jnp.float32))
+    extras['reset_count'] = cnt
+
+    reward_sums = jnp.where(mask[:, None], 0.0, state.reward_sums)
+    episode_length = jnp.where(mask, 0, state.episode_length)
+    actions = jnp.where(mask[:, None], 0.0, state.actions)
+    prev_actions = jnp.where(mask[:, None], 0.0, state.prev_actions)
+
+    state = state.replace(
+        model=model, data=data, command=cmd_state, obs=obs_state,
+        curriculum=curr_state, reward_sums=reward_sums,
+        episode_length=episode_length, actions=actions,
+        prev_actions=prev_actions)
+    return state, extras
+
+  def _step_fn(self, state: EnvState, action: jax.Array):
+    key, k_reset, k_cmd, k_int, k_obs = jax.random.split(state.rng, 5)
+
+    # action processing (reference action_manager.py:108-124)
+    prev_actions = state.actions
+    processed = self.action_manager.process(action)
+    state = state.replace(actions=action, prev_actions=prev_actions)
+
+    # decimation loop
+    ctx = self._make_ctx(state)
+    data = state.data
+    for _ in range(self.cfg.decimation):
+      data = self.action_manager.apply(ctx, data, processed)
+      data = self._phys_step(state.model, data)
+    state = state.replace(
+        data=data,
+        episode_length=state.episode_length + 1,
+        common_step=state.common_step + 1)
+
+    # terminations + rewards
+    ctx = self._make_ctx(state)
+    terminated, truncated, term_info = self.termination_manager.compute(ctx)
+    ctx.terminated = terminated
+    reward, sums, _ = self.reward_manager.compute(ctx, state.reward_sums,
+                                                  self.step_dt)
+    state = state.replace(reward_sums=sums)
+
+    # masked partial reset + forward refresh
+    done = terminated | truncated
+    state, extras = self._reset_masked(state, done, term_info, k_reset)
+    data = jax.lax.cond(
+        jnp.any(done),
+        lambda d: self._phys_forward(state.model, d),
+        lambda d: d, state.data)
+    state = state.replace(data=data)
+
+    # command update
+    ctx = self._make_ctx(state)
+    cmd_state = self.command_manager.compute(state.command, ctx, k_cmd,
+                                             self.step_dt)
+    state = state.replace(command=cmd_state)
+
+    # interval events (pushes etc.)
+    ctx = self._make_ctx(state)
+    data, ev_state = self.event_manager.apply_interval(
+        ctx, state.data, state.event, k_int)
+    state = state.replace(data=data, event=ev_state)
+
+    # observations
+    ctx = self._make_ctx(state)
+    obs, obs_state = self.observation_manager.compute(ctx, state.obs, k_obs)
+    state = state.replace(obs=obs_state, rng=key)
+
+    extras['time_outs'] = truncated
+    return state, (obs, reward, terminated, truncated, extras)
+
+  def _reset_fn(self, state: EnvState, key: jax.Array):
+    k1, k2, k3 = jax.random.split(key, 3)
+    mask = jnp.ones(self.num_envs, bool)
+    term_info = {n: jnp.zeros(self.num_envs, bool)
+                 for n in self.termination_manager.active_terms}
+    state, _ = self._reset_masked(state, mask, term_info, k1)
+    data = self._phys_forward(state.model, state.data)
+    state = state.replace(data=data)
+    ctx = self._make_ctx(state)
+    cmd_state = self.command_manager.compute(state.command, ctx, k2, 0.0)
+    state = state.replace(command=cmd_state)
+    ctx = self._make_ctx(state)
+    obs, obs_state = self.observation_manager.compute(ctx, state.obs, k3)
+    state = state.replace(obs=obs_state, rng=key)
+    return state, obs
+
+  # functional API (for on-device PPO rollouts)
+  def init_state(self, seed: int | None = None) -> tuple[EnvState, dict]:
+    key = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
+    return self._reset_jit(self._template_state, key)
+
+  @property
+  def step_fn(self):
+    return self._step_fn
+
+  # ------------------------------------------------------------------
+  # gym-like stateful API
+  # ------------------------------------------------------------------
+  def reset(self, seed: int | None = None):
+    self._state, obs = self.init_state(seed)
+    return obs, {}
+
+  def step(self, action):
+    if self._state is None:
+      self.reset()
+    self._state, out = self._step_jit(self._state, jnp.asarray(action))
+    return out
+
+  @property
+  def state(self) -> EnvState:
+    return self._state
+
+  @property
+  def action_dim(self) -> int:
+    return self.action_manager.total_dim
+
+  @property
+  def observation_dims(self) -> dict:
+    return {g: self.observation_manager.group_dim(g)
+            for g in self.observation_manager.groups}
+
+  @property
+  def max_episode_length_s(self) -> float:
+    return self.cfg.episode_length_s
+
+  def close(self):
+    pass

@@ -12,7 +12,7 @@ Public API:
   forward(Model, Data) -> Data   # forward dynamics only (mj_forward)
 """
 
-from mjlab_tpu.physics.forward import forward, step
+from mjlab_tpu.physics.pipeline import forward, step
 from mjlab_tpu.physics.io import make_data, put_model
 from mjlab_tpu.physics.types import (
     ConeType,

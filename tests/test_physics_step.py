@@ -14,7 +14,7 @@ import numpy as np
 import pytest
 
 from mjlab_tpu.physics import io
-from mjlab_tpu.physics.forward import forward, step
+from mjlab_tpu.physics.pipeline import forward, step
 
 SCENES = {
     'sphere_rest': """
