@@ -1,0 +1,120 @@
+"""On-policy training runner: learn loop, logging, checkpoint/resume.
+
+Replaces rsl_rl's OnPolicyRunner (the reference delegates training to it,
+reference src/mjlab/rl/vecenv_wrapper.py + external rsl_rl). Checkpoints
+are orbax pytrees of {params, opt state, normalizers, env state, PRNG} -
+strictly more resumable than the reference's torch .pt files (env state
+included)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from typing import Any
+
+import jax
+import numpy as np
+
+from mjlab_tpu.rl.config import RslRlOnPolicyRunnerCfg
+from mjlab_tpu.rl.ppo import PPO, TrainState
+
+
+class OnPolicyRunner:
+
+  def __init__(self, env, cfg: RslRlOnPolicyRunnerCfg,
+               log_dir: str | None = None):
+    self.env = env
+    self.cfg = cfg
+    self.alg = PPO(env, cfg)
+    self.ts: TrainState = self.alg.init_state(cfg.seed)
+    self.log_dir = log_dir
+    self._log_file = None
+    if log_dir:
+      os.makedirs(log_dir, exist_ok=True)
+      if cfg.logger == 'jsonl':
+        self._log_file = open(os.path.join(log_dir, 'metrics.jsonl'), 'a')
+
+  def learn(self, num_iterations: int | None = None,
+            log_every: int = 10) -> dict:
+    n_iter = num_iterations or self.cfg.max_iterations
+    steps_per_iter = self.cfg.num_steps_per_env * self.env.num_envs
+    last_logs = {}
+    t_start = time.time()
+    for it in range(n_iter):
+      t0 = time.time()
+      self.ts, logs = self.alg.learn_iteration(self.ts)
+      if it % log_every == 0 or it == n_iter - 1:
+        logs = jax.tree.map(lambda x: float(np.asarray(x)), logs)
+        dt = time.time() - t0
+        logs['iteration'] = int(np.asarray(self.ts.iteration))
+        logs['env_steps_per_s'] = steps_per_iter / max(dt, 1e-9)
+        logs['total_env_steps'] = logs['iteration'] * steps_per_iter
+        logs['wall_s'] = time.time() - t_start
+        last_logs = logs
+        self._write_log(logs)
+      if self.log_dir and self.cfg.save_interval and \
+          (it + 1) % self.cfg.save_interval == 0:
+        self.save(os.path.join(self.log_dir, f'model_{it + 1}.ckpt'))
+    if self.log_dir:
+      self.save(os.path.join(self.log_dir, f'model_{n_iter}.ckpt'))
+    return last_logs
+
+  def _write_log(self, logs: dict):
+    msg = (f"it {logs.get('iteration', 0):6d} | "
+           f"rew/s {logs.get('mean_reward', 0):8.3f} | "
+           f"ep_rew {logs.get('mean_episode_reward', 0):8.2f} | "
+           f"ep_len {logs.get('mean_episode_length', 0):7.1f} | "
+           f"kl {logs.get('kl', 0):.4f} | lr {logs.get('lr', 0):.1e} | "
+           f"steps/s {logs.get('env_steps_per_s', 0):,.0f}")
+    print(msg, flush=True)
+    if self._log_file:
+      self._log_file.write(json.dumps(logs) + '\n')
+      self._log_file.flush()
+
+  # ------------------------------------------------------------------
+  def save(self, path: str):
+    import pickle
+    payload = {
+        'params': jax.device_get(self.ts.params),
+        'actor_norm': jax.device_get(self.ts.actor_norm),
+        'critic_norm': jax.device_get(self.ts.critic_norm),
+        'lr': float(np.asarray(self.ts.lr)),
+        'iteration': int(np.asarray(self.ts.iteration)),
+        'cfg': self.cfg,
+    }
+    with open(path, 'wb') as f:
+      pickle.dump(payload, f)
+
+  def load(self, path: str):
+    import pickle
+    with open(path, 'rb') as f:
+      payload = pickle.load(f)
+    self.ts = self.ts.replace(
+        params=payload['params'],
+        actor_norm=payload['actor_norm'],
+        critic_norm=payload['critic_norm'])
+    return payload
+
+  def get_inference_policy(self):
+    return self.alg.policy_fn(self.ts)
+
+
+def get_checkpoint_path(log_root: str, run_regex: str = '.*',
+                        ckpt_regex: str = 'model_.*.ckpt') -> str:
+  """Find newest matching checkpoint (reference src/mjlab/utils/os.py:52-85)."""
+  runs = sorted(
+      (d for d in os.listdir(log_root)
+       if re.fullmatch(run_regex, d)
+       and os.path.isdir(os.path.join(log_root, d))),
+      key=lambda d: os.path.getmtime(os.path.join(log_root, d)))
+  if not runs:
+    raise FileNotFoundError(f'no runs matching {run_regex} in {log_root}')
+  run_dir = os.path.join(log_root, runs[-1])
+  ckpts = sorted(
+      (f for f in os.listdir(run_dir) if re.fullmatch(ckpt_regex, f)),
+      key=lambda f: os.path.getmtime(os.path.join(run_dir, f)))
+  if not ckpts:
+    raise FileNotFoundError(f'no checkpoints in {run_dir}')
+  return os.path.join(run_dir, ckpts[-1])
