@@ -223,12 +223,16 @@ class ManagerBasedRlEnv:
     processed = self.action_manager.process(action)
     state = state.replace(actions=action, prev_actions=prev_actions)
 
-    # decimation loop
+    # decimation loop (lax.scan: physics is traced once, not 4x)
     ctx = self._make_ctx(state)
-    data = state.data
-    for _ in range(self.cfg.decimation):
+
+    def substep(data, _):
       data = self.action_manager.apply(ctx, data, processed)
       data = self._phys_step(state.model, data)
+      return data, None
+
+    data, _ = jax.lax.scan(substep, state.data, None,
+                           length=self.cfg.decimation)
     state = state.replace(
         data=data,
         episode_length=state.episode_length + 1,

@@ -1,0 +1,46 @@
+"""Multi-chip scaling: env-axis sharding over a jax.sharding.Mesh.
+
+The reference's only parallelism is single-GPU env batching (SURVEY.md
+2.10); the TPU design shards the env axis of EnvState/TrainState across
+chips with NamedSharding and lets XLA insert ICI collectives - gradients
+reduce via the jitted PPO update (psum inserted automatically), physics
+stays embarrassingly parallel along 'env'. Scaling to multi-host pods is
+the same code: the mesh spans all devices.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = 'env') -> Mesh:
+  devs = jax.devices()
+  if n_devices is not None:
+    devs = devs[:n_devices]
+  return Mesh(np.asarray(devs), (axis_name,))
+
+
+def shard_batched(tree: Any, mesh: Mesh, num_envs: int,
+                  axis_name: str = 'env') -> Any:
+  """Place every leaf with a leading env axis as sharded over the mesh;
+  replicate everything else. Works on EnvState, TrainState, obs dicts."""
+  env_sharding = NamedSharding(mesh, P(axis_name))
+  rep_sharding = NamedSharding(mesh, P())
+
+  def place(x):
+    if hasattr(x, 'ndim') and x.ndim >= 1 and x.shape[0] == num_envs:
+      return jax.device_put(x, env_sharding)
+    return jax.device_put(x, rep_sharding)
+
+  return jax.tree.map(place, tree)
+
+
+def assert_divisible(num_envs: int, mesh: Mesh, axis_name: str = 'env'):
+  n = mesh.shape[axis_name]
+  if num_envs % n:
+    raise ValueError(
+        f'num_envs={num_envs} not divisible by mesh axis {axis_name}={n}')

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mjlab_tpu.physics import collision as _collision
+from mjlab_tpu.physics import linalg
 from mjlab_tpu.physics import constraint as _constraint
 from mjlab_tpu.physics import kinematics as _kinematics
 from mjlab_tpu.physics import math as pmath
@@ -146,9 +147,7 @@ def _euler(m: Model, d: Data) -> Data:
     # implicit damping: (M + dt*diag(B)) a = qfrc_smooth + qfrc_constraint
     MhB = d.qM + dt * jnp.diag(m.dof_damping)
     rhs = d.qfrc_smooth + d.qfrc_constraint
-    L = jnp.linalg.cholesky(MhB)
-    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-    qacc = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    qacc = linalg.solve_pd(MhB, rhs)
     # match MuJoCo: only use the implicit solution when damping exists;
     # with zero damping the two coincide, so no branch is needed.
   qvel = d.qvel + dt * qacc
@@ -161,7 +160,8 @@ def _implicitfast(m: Model, d: Data) -> Data:
   deriv = m.dof_damping - _actuator_vel_deriv(m, d)  # -d qfrc/d qvel
   A = d.qM + dt * jnp.diag(deriv)
   rhs = d.qfrc_smooth + d.qfrc_constraint
-  qacc = jnp.linalg.solve(A, rhs)
+  # A is SPD for PD actuators (positive damping derivative)
+  qacc = linalg.solve_pd(A, rhs)
   qvel = d.qvel + dt * qacc
   qpos = _integrate_pos(m, d.qpos, qvel, dt)
   return d.replace(qpos=qpos, qvel=qvel, time=d.time + dt)

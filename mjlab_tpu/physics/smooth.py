@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mjlab_tpu.physics import linalg
 from mjlab_tpu.physics import math as pmath
 from mjlab_tpu.physics.types import (
     BiasType,
@@ -49,14 +50,13 @@ def crb(m: Model, d: Data) -> Data:
   L = raw * mask * tril
   qM = L + L.T - jnp.diag(jnp.diag(L))
   qM = qM + jnp.diag(m.dof_armature)
-  qLD = jnp.linalg.cholesky(qM)
+  qLD = linalg.cholesky(qM)
   return d.replace(qM=qM, qLD=qLD)
 
 
 def solve_m(d: Data, rhs: jax.Array) -> jax.Array:
   """Solve M x = rhs using the cached Cholesky factor."""
-  y = jax.scipy.linalg.solve_triangular(d.qLD, rhs, lower=True)
-  return jax.scipy.linalg.solve_triangular(d.qLD.T, y, lower=False)
+  return linalg.cho_solve(d.qLD, rhs)
 
 
 def rne(m: Model, d: Data) -> Data:

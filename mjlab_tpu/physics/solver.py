@@ -21,6 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from mjlab_tpu.physics import linalg
 from mjlab_tpu.physics.types import Data, Model
 
 
@@ -83,9 +84,7 @@ def solve(m: Model, d: Data, efc) -> Data:
     H = M + (J.T * Dq[None, :]) @ J
     # regularize lightly for numerical safety; M's armature keeps this PD
     H = H + 1e-12 * jnp.eye(H.shape[0], dtype=H.dtype)
-    L = jnp.linalg.cholesky(H)
-    y = jax.scipy.linalg.solve_triangular(L, -grad, lower=True)
-    dx = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    dx = linalg.solve_pd(H, -grad)
 
     # exact linesearch: phi(a) = C(x + a dx); 1D Newton with static count
     jd = J @ dx
