@@ -103,7 +103,7 @@ class ManagerBasedRlEnv:
     # --- bootstrap state (also used to probe observation dims) ---
     key = jax.random.PRNGKey(cfg.seed)
     key, k_start, k_cmd, k_ev = jax.random.split(key, 4)
-    data = make_batched_data(self.model, self.num_envs)
+    data = make_batched_data(base_model, self.num_envs)
     model, data = self.event_manager.apply_startup(self.model, data, k_start)
     self.model = model
     data = self._phys_forward(model, data)
@@ -145,6 +145,7 @@ class ManagerBasedRlEnv:
         model=state.model, data=state.data, scene=self.scene, state=state,
         actions=state.actions, prev_actions=state.prev_actions,
         commands=self.command_manager.values(state.command),
+        command_terms=self.command_manager.terms,
         episode_length=state.episode_length,
         step_dt=self.step_dt, physics_dt=self.physics_dt,
         max_episode_length=self.max_episode_length,
@@ -162,6 +163,12 @@ class ManagerBasedRlEnv:
     n = self.num_envs
     k_ev, k_cmd, k_obs, k_curr = jax.random.split(key, 4)
     ctx = self._make_ctx(state)
+    # expose which envs terminated (vs timed out) to reset-time consumers
+    terminated = jnp.zeros(n, bool)
+    for name, flag in term_info.items():
+      if not self.termination_manager.terms[name].time_out:
+        terminated = terminated | flag
+    ctx.terminated = terminated
     extras = {}
     cnt = jnp.sum(mask.astype(jnp.float32))
     safe_cnt = jnp.maximum(cnt, 1.0)
@@ -177,17 +184,20 @@ class ManagerBasedRlEnv:
     for name in self.scene.entities:
       data = self.scene[name].reset(data, mask)
 
-    # reset events (may touch data and per-env model fields)
+    # command reset + metric logging (BEFORE reset events: RSI-style events
+    # read the freshly resampled command state, reference _reset_idx order
+    # has command-manager RSI writes inside the reset phase)
     ctx = dataclasses.replace(ctx, data=data)
-    data, model = self.event_manager.apply_reset(
-        ctx, data, state.model, mask, k_ev, state.common_step)
-
-    # command reset + metric logging
-    ctx = dataclasses.replace(ctx, data=data, model=model)
     cmd_state, cmd_metrics = self.command_manager.reset(
         state.command, ctx, mask, k_cmd)
     for k, v in cmd_metrics.items():
       extras[k] = jnp.sum(jnp.where(mask, v, 0.0)) / safe_cnt
+
+    # reset events (may touch data and per-env model fields)
+    ctx = dataclasses.replace(
+        ctx, data=data, state=state.replace(command=cmd_state))
+    data, model = self.event_manager.apply_reset(
+        ctx, data, state.model, mask, k_ev, state.common_step)
 
     # observation buffers
     obs_state = self.observation_manager.reset(state.obs, mask, k_obs)

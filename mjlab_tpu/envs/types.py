@@ -51,6 +51,7 @@ class EnvCtx:
   actions: jax.Array
   prev_actions: jax.Array
   commands: dict  # term name -> command value array
+  command_terms: dict  # term name -> CommandTerm instance (static)
   episode_length: jax.Array
   step_dt: float
   physics_dt: float

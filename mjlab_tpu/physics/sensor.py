@@ -348,7 +348,7 @@ def _contact_sensor(m: Model, d: Data, cs: _ContactSensorStatic,
   big = jnp.asarray(1e10, dtype)
   if cs.reduce == REDUCE_NETFORCE:
     rec = {
-        0: jnp.minimum(found, 1).astype(dtype)[None],
+        0: found.astype(dtype)[None],
         1: jnp.sum(f_world, axis=0),
         2: jnp.zeros(3, dtype),
         3: jnp.min(jnp.where(active, dist, big))[None],
@@ -367,7 +367,7 @@ def _contact_sensor(m: Model, d: Data, cs: _ContactSensorStatic,
       mag = jnp.linalg.norm(f_world, axis=-1)
       idx = jnp.argmax(jnp.where(active, mag, -1.0))
     rec = {
-        0: jnp.minimum(found, 1).astype(dtype)[None],
+        0: found.astype(dtype)[None],
         1: f_world[idx],
         2: jnp.zeros(3, dtype),
         3: dist[idx][None],

@@ -1,0 +1,180 @@
+"""Motion preprocessing pipeline: qpos trajectories -> motion npz.
+
+Capability mirror of reference src/mjlab/scripts/csv_to_npz.py: input
+trajectories (CSV base pose + joint positions, or programmatic qpos) are
+resampled to the control rate (lerp + slerp), replayed through CPU MuJoCo
+forward kinematics to extract world body poses, and differentiated
+(finite differences; SO(3) log for angular velocity) into the npz schema
+consumed by MotionLoader: joint_pos, joint_vel, body_pos_w, body_quat_w,
+body_lin_vel_w, body_ang_vel_w.
+
+Also provides a synthetic G1 motion generator used for tests/demos (no
+external motion-capture download required in this environment).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _quat_slerp_np(q0, q1, t):
+  d = np.sum(q0 * q1, axis=-1, keepdims=True)
+  q1 = np.where(d < 0, -q1, q1)
+  d = np.abs(d).clip(-1, 1)
+  theta = np.arccos(d)
+  sin_t = np.sin(theta)
+  w0 = np.where(sin_t > 1e-6, np.sin((1 - t) * theta) / np.maximum(sin_t, 1e-12), 1 - t)
+  w1 = np.where(sin_t > 1e-6, np.sin(t * theta) / np.maximum(sin_t, 1e-12), t)
+  q = w0 * q0 + w1 * q1
+  return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def _quat_log(q):
+  """Rotation vector of unit quaternion (w,x,y,z)."""
+  q = np.where(q[..., :1] < 0, -q, q)
+  sin_half = np.linalg.norm(q[..., 1:], axis=-1)
+  angle = 2.0 * np.arctan2(sin_half, q[..., 0])
+  axis = q[..., 1:] / np.maximum(sin_half, 1e-12)[..., None]
+  return np.where((sin_half > 1e-8)[..., None], axis * angle[..., None],
+                  2.0 * q[..., 1:])
+
+
+def _quat_mul_np(a, b):
+  aw, ax, ay, az = np.moveaxis(a, -1, 0)
+  bw, bx, by, bz = np.moveaxis(b, -1, 0)
+  return np.stack([
+      aw * bw - ax * bx - ay * by - az * bz,
+      aw * bx + ax * bw + ay * bz - az * by,
+      aw * by - ax * bz + ay * bw + az * bx,
+      aw * bz + ax * by - ay * bx + az * bw], -1)
+
+
+def _quat_conj_np(q):
+  return q * np.array([1.0, -1, -1, -1])
+
+
+def resample_qpos(qpos: np.ndarray, in_fps: float, out_fps: float,
+                  quat_cols: list[int]) -> np.ndarray:
+  """Resample a (T, nq) trajectory to out_fps; slerp quaternion columns
+  (reference csv_to_npz.py:98-121)."""
+  T = qpos.shape[0]
+  dur = (T - 1) / in_fps
+  n_out = int(np.floor(dur * out_fps)) + 1
+  t_out = np.arange(n_out) / out_fps * in_fps
+  i0 = np.clip(np.floor(t_out).astype(int), 0, T - 1)
+  i1 = np.clip(i0 + 1, 0, T - 1)
+  a = (t_out - i0)[:, None]
+  out = qpos[i0] * (1 - a) + qpos[i1] * a
+  for qc in quat_cols:
+    out[:, qc:qc + 4] = _quat_slerp_np(
+        qpos[i0, qc:qc + 4], qpos[i1, qc:qc + 4], a)
+  return out
+
+
+def qpos_to_motion(mj_model, body_names_prefixed: list[str],
+                   joint_q_adr: np.ndarray, free_q_adr: np.ndarray,
+                   qpos_traj: np.ndarray, fps: float) -> dict:
+  """Replay a qpos trajectory through FK; extract the motion npz arrays."""
+  import mujoco
+  md = mujoco.MjData(mj_model)
+  body_ids = [mujoco.mj_name2id(mj_model, mujoco.mjtObj.mjOBJ_BODY, n)
+              for n in body_names_prefixed]
+  T = qpos_traj.shape[0]
+  B = len(body_ids)
+  body_pos = np.zeros((T, B, 3))
+  body_quat = np.zeros((T, B, 4))
+  for t in range(T):
+    md.qpos[:] = qpos_traj[t]
+    mujoco.mj_kinematics(mj_model, md)
+    body_pos[t] = md.xpos[body_ids]
+    body_quat[t] = md.xquat[body_ids]
+
+  dt = 1.0 / fps
+  joint_pos = qpos_traj[:, joint_q_adr]
+  joint_vel = np.gradient(joint_pos, dt, axis=0)
+  body_lin_vel = np.gradient(body_pos, dt, axis=0)
+  # angular velocity via SO(3) log of relative rotation (world frame)
+  dq = _quat_mul_np(body_quat[1:], _quat_conj_np(body_quat[:-1]))
+  ang = _quat_log(dq) / dt
+  body_ang_vel = np.concatenate([ang[:1], ang], axis=0)
+  return dict(joint_pos=joint_pos.astype(np.float32),
+              joint_vel=joint_vel.astype(np.float32),
+              body_pos_w=body_pos.astype(np.float32),
+              body_quat_w=body_quat.astype(np.float32),
+              body_lin_vel_w=body_lin_vel.astype(np.float32),
+              body_ang_vel_w=body_ang_vel.astype(np.float32))
+
+
+def csv_to_npz(csv_path: str, robot_cfg, output_path: str,
+               input_fps: float = 30.0, output_fps: float = 50.0):
+  """CSV rows = [base_pos(3), base_quat(4, wxyz), joint_pos(nj)] -> npz."""
+  from mjlab_tpu.entity.entity import Entity
+  raw = np.loadtxt(csv_path, delimiter=',')
+  ent = Entity(robot_cfg)
+  mj = ent.spec.compile()
+  idx = ent.compute_indexing(mj, '')
+  nq = mj.nq
+  qpos = np.zeros((raw.shape[0], nq))
+  qpos[:, idx.free_q_adr] = raw[:, :7]
+  qpos[:, idx.q_adr] = raw[:, 7:]
+  qpos = resample_qpos(qpos, input_fps, output_fps,
+                       quat_cols=[int(idx.free_q_adr[3])])
+  motion = qpos_to_motion(mj, list(idx.body_names), idx.q_adr,
+                          idx.free_q_adr, qpos, output_fps)
+  np.savez(output_path, **motion)
+  return output_path
+
+
+def generate_g1_squat_motion(output_path: str, duration_s: float = 8.0,
+                             fps: float = 50.0) -> str:
+  """Synthetic squat + arm-swing reference motion for the G1 (kinematic),
+  used where motion-capture data is unavailable."""
+  from mjlab_tpu.asset_zoo.unitree_g1 import G1_ROBOT_CFG, HOME_KEYFRAME
+  from mjlab_tpu.entity.entity import Entity
+  from mjlab_tpu.utils.string import resolve_matching_names_values
+
+  ent = Entity(G1_ROBOT_CFG)
+  mj = ent.spec.compile()
+  idx = ent.compute_indexing(mj, '')
+  nj = len(idx.joint_names)
+  T = int(duration_s * fps)
+  t = np.arange(T) / fps
+
+  base = np.zeros(nj)
+  ids, _, vals = resolve_matching_names_values(
+      HOME_KEYFRAME.joint_pos, idx.joint_names)
+  base[ids] = vals
+
+  qpos = np.zeros((T, mj.nq))
+  phase = 2 * np.pi * 0.5 * t  # 0.5 Hz squat
+  depth = 0.12 * 0.5 * (1 - np.cos(phase))  # smooth 0..0.12 m
+  qpos[:, idx.free_q_adr[0]] = 0.0
+  qpos[:, idx.free_q_adr[2]] = HOME_KEYFRAME.pos[2] - depth
+  qpos[:, idx.free_q_adr[3]] = 1.0  # identity quat
+
+  joint = np.tile(base, (T, 1))
+
+  def set_j(pattern, values):
+    ids, _, _ = resolve_matching_names_values({pattern: 0.0},
+                                              idx.joint_names)
+    for i in ids:
+      joint[:, i] = values
+
+  # crouch kinematics: hip/knee/ankle follow the squat depth
+  set_j('.*_hip_pitch_joint', -0.1 - 2.4 * depth)
+  set_j('.*_knee_joint', 0.3 + 4.2 * depth)
+  set_j('.*_ankle_pitch_joint', -0.2 - 1.8 * depth)
+  # arm swing
+  swing = 0.3 * np.sin(phase)
+  ids, _, _ = resolve_matching_names_values(
+      {'left_shoulder_pitch_joint': 0.0}, idx.joint_names)
+  joint[:, ids[0]] = 0.2 + swing
+  ids, _, _ = resolve_matching_names_values(
+      {'right_shoulder_pitch_joint': 0.0}, idx.joint_names)
+  joint[:, ids[0]] = 0.2 - swing
+
+  qpos[:, idx.q_adr] = joint
+  motion = qpos_to_motion(mj, list(idx.body_names), idx.q_adr,
+                          idx.free_q_adr, qpos, fps)
+  np.savez(output_path, **motion)
+  return output_path
