@@ -99,6 +99,8 @@ class ManagerBasedRlEnv:
     self.termination_manager = TerminationManager(cfg.terminations,
                                                   self.scene)
     self.curriculum_manager = CurriculumManager(cfg.curriculum, self.scene)
+    # terrain-level curriculum carries per-env spawn origins in its state
+    self._origin_term = self.curriculum_manager.origin_term()
 
     # --- bootstrap state (also used to probe observation dims) ---
     key = jax.random.PRNGKey(cfg.seed)
@@ -120,7 +122,8 @@ class ManagerBasedRlEnv:
         command=cmd_state, obs={}, event=ev_state,
         reward_sums=jnp.zeros(
             (self.num_envs, max(len(self.reward_manager.terms), 1))),
-        curriculum=self.curriculum_manager.init_state())
+        curriculum=self.curriculum_manager.init_state(),
+        reward=self.reward_manager.init_state(self.num_envs))
 
     def probe(func, params):
       ctx = self._make_ctx(probe_state)
@@ -141,6 +144,11 @@ class ManagerBasedRlEnv:
   # context
   # ------------------------------------------------------------------
   def _make_ctx(self, state: EnvState) -> EnvCtx:
+    origins = self.scene.env_origins
+    if self._origin_term is not None:
+      curr = state.curriculum.get(self._origin_term)
+      if curr is not None:
+        origins = curr['origins']
     ctx = EnvCtx(
         model=state.model, data=state.data, scene=self.scene, state=state,
         actions=state.actions, prev_actions=state.prev_actions,
@@ -150,7 +158,7 @@ class ManagerBasedRlEnv:
         step_dt=self.step_dt, physics_dt=self.physics_dt,
         max_episode_length=self.max_episode_length,
         num_envs=self.num_envs,
-        env_origins=self.scene.env_origins,
+        env_origins=origins,
         terminated=jnp.zeros(self.num_envs, bool))
     return ctx
 
@@ -178,6 +186,11 @@ class ManagerBasedRlEnv:
         ctx, state.curriculum, mask)
     extras.update({k: jnp.asarray(v, jnp.float32)
                    for k, v in curr_metrics.items()})
+    # re-derive ctx so reset events below see curriculum-updated spawn
+    # origins (terrain-level promotion moves env origins)
+    state = state.replace(curriculum=curr_state)
+    ctx = self._make_ctx(state)
+    ctx.terminated = terminated
 
     # scene reset: clear per-entity forces/ctrl
     data = state.data
@@ -217,12 +230,13 @@ class ManagerBasedRlEnv:
     episode_length = jnp.where(mask, 0, state.episode_length)
     actions = jnp.where(mask[:, None], 0.0, state.actions)
     prev_actions = jnp.where(mask[:, None], 0.0, state.prev_actions)
+    rew_state = self.reward_manager.reset_state(state.reward, mask)
 
     state = state.replace(
         model=model, data=data, command=cmd_state, obs=obs_state,
         curriculum=curr_state, reward_sums=reward_sums,
         episode_length=episode_length, actions=actions,
-        prev_actions=prev_actions)
+        prev_actions=prev_actions, reward=rew_state)
     return state, extras
 
   def _step_fn(self, state: EnvState, action: jax.Array):
@@ -252,9 +266,9 @@ class ManagerBasedRlEnv:
     ctx = self._make_ctx(state)
     terminated, truncated, term_info = self.termination_manager.compute(ctx)
     ctx.terminated = terminated
-    reward, sums, _ = self.reward_manager.compute(ctx, state.reward_sums,
-                                                  self.step_dt)
-    state = state.replace(reward_sums=sums)
+    reward, sums, _, rew_state = self.reward_manager.compute(
+        ctx, state.reward_sums, self.step_dt, state.reward)
+    state = state.replace(reward_sums=sums, reward=rew_state)
 
     # masked partial reset + forward refresh
     done = terminated | truncated

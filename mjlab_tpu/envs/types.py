@@ -38,6 +38,8 @@ class EnvState:
   event: dict  # per-term interval clocks / reset bookkeeping
   reward_sums: jax.Array  # (N, n_reward_terms) episode sums
   curriculum: dict
+  # stateful reward-term state (per-foot clocks etc.); {} when none
+  reward: dict = struct.field(default_factory=dict)
 
 
 @dataclasses.dataclass

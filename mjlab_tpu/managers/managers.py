@@ -233,6 +233,13 @@ class ObservationManager:
 
 
 class RewardManager:
+  """Stateless terms are plain functions `f(ctx, **params) -> (N,)`;
+  stateful terms (e.g. feet_air_time per-foot clocks, reference
+  tasks/velocity/mdp/rewards.py:52-153 class terms) declare
+  `func.init_state(num_envs=..., **params)` and have signature
+  `f(ctx, state, **params) -> (value, new_state)`. Their state lives in
+  EnvState.reward and is masked to the init value on env reset."""
+
   def __init__(self, cfg, scene):
     self.terms: dict[str, RewardTermCfg] = {}
     self.params: dict[str, dict] = {}
@@ -244,21 +251,51 @@ class RewardManager:
   def active_terms(self):
     return list(self.terms)
 
-  def compute(self, ctx, episode_sums: jax.Array, dt: float):
-    """Returns (reward (N,), new episode_sums, per-term dict)."""
+  def init_state(self, num_envs: int) -> dict:
+    st = {}
+    for name, tcfg in self.terms.items():
+      init_fn = getattr(tcfg.func, 'init_state', None)
+      # weight-0 terms are skipped entirely (reference
+      # reward_manager.py:82-83), so they carry no state either
+      if init_fn is not None and tcfg.weight != 0.0:
+        st[name] = init_fn(num_envs=num_envs, **self.params[name])
+    return st
+
+  def reset_state(self, state: dict, mask: jax.Array) -> dict:
+    new = dict(state)
+    for name in state:
+      reset_fn = getattr(self.terms[name].func, 'reset_state', None)
+      if reset_fn is not None:
+        new[name] = reset_fn(state[name], mask)
+      else:
+        new[name] = jax.tree.map(
+            lambda x: jnp.where(
+                mask.reshape((-1,) + (1,) * (x.ndim - 1)),
+                jnp.zeros_like(x), x), state[name])
+    return new
+
+  def compute(self, ctx, episode_sums: jax.Array, dt: float,
+              state: dict | None = None):
+    """Returns (reward (N,), new episode_sums, per-term dict, new state)."""
     n = ctx.num_envs
     total = jnp.zeros(n, ctx.data.qpos.dtype)
     values = {}
     sums = episode_sums
+    new_state = dict(state or {})
     for i, (name, tcfg) in enumerate(self.terms.items()):
       if tcfg.weight == 0.0:
         values[name] = jnp.zeros(n, total.dtype)
         continue
-      v = tcfg.func(ctx, **self.params[name]) * tcfg.weight * dt
+      if state is not None and name in state:
+        raw, new_state[name] = tcfg.func(ctx, state[name],
+                                         **self.params[name])
+      else:
+        raw = tcfg.func(ctx, **self.params[name])
+      v = raw * tcfg.weight * dt
       values[name] = v
       total = total + v
       sums = sums.at[:, i].add(v)
-    return total, sums, values
+    return total, sums, values, new_state
 
 
 # ---------------------------------------------------------------------------
@@ -394,11 +431,20 @@ class EventManager:
 
 class CurriculumManager:
   def __init__(self, cfg, scene):
+    self.scene = scene
     self.terms: dict[str, CurriculumTermCfg] = {}
     self.params: dict[str, dict] = {}
     for name, tcfg in get_terms(cfg, CurriculumTermCfg).items():
       self.terms[name] = tcfg
       self.params[name] = _resolve_params(tcfg.params, scene, tcfg.func)
+
+  def origin_term(self) -> 'str | None':
+    """Name of the curriculum term (if any) whose state carries per-env
+    spawn origins (terrain-level curriculum)."""
+    for name, tcfg in self.terms.items():
+      if getattr(tcfg.func, 'provides_env_origins', False):
+        return name
+    return None
 
   @property
   def active_terms(self):
@@ -409,7 +455,7 @@ class CurriculumManager:
     for name, tcfg in self.terms.items():
       init_fn = getattr(tcfg.func, 'init_state', None)
       if init_fn is not None:
-        st[name] = init_fn(**self.params[name])
+        st[name] = init_fn(scene=self.scene, **self.params[name])
     return st
 
   def compute(self, ctx, state: dict, mask: jax.Array):

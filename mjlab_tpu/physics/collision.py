@@ -239,6 +239,229 @@ def _box_box(p1, m1, s1, p2, m2, s2):
           jnp.concatenate([n1, n2], -2))
 
 
+# ---------------------------------------------------------------------------
+# Heightfield narrowphase. The terrain raster lives in Model.hfield_data
+# (meters, (nrow, ncol)); each query geom tests the two triangles of every
+# cell in a fixed 3x3 neighborhood of its footprint — O(1) gathers with
+# static shapes, the TPU replacement for the reference's box-grid terrain
+# + mjwarp broadphase (reference src/mjlab/terrains/primitive_terrains.py).
+# ---------------------------------------------------------------------------
+
+
+def _closest_on_triangle(p, a, b, c):
+  """Vectorized closest point on triangle abc to point p (Ericson 5.1.5).
+  All inputs (..., 3); returns (..., 3)."""
+  dot = lambda x, y: jnp.sum(x * y, axis=-1)
+  eps = 1e-12
+  ab = b - a
+  ac = c - a
+  ap = p - a
+  d1 = dot(ab, ap)
+  d2 = dot(ac, ap)
+  bp = p - b
+  d3 = dot(ab, bp)
+  d4 = dot(ac, bp)
+  cp = p - c
+  d5 = dot(ab, cp)
+  d6 = dot(ac, cp)
+  va = d3 * d6 - d5 * d4
+  vb = d5 * d2 - d1 * d6
+  vc = d1 * d4 - d3 * d2
+
+  # interior
+  denom = va + vb + vc
+  denom = jnp.where(jnp.abs(denom) < eps, eps, denom)
+  v_in = vb / denom
+  w_in = vc / denom
+  res = a + ab * v_in[..., None] + ac * w_in[..., None]
+  # edge BC
+  t_bc = (d4 - d3) / jnp.where(
+      jnp.abs((d4 - d3) + (d5 - d6)) < eps, eps, (d4 - d3) + (d5 - d6))
+  on_bc = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+  res = jnp.where(on_bc[..., None], b + (c - b) * t_bc[..., None], res)
+  # edge AC
+  t_ac = d2 / jnp.where(jnp.abs(d2 - d6) < eps, eps, d2 - d6)
+  on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+  res = jnp.where(on_ac[..., None], a + ac * t_ac[..., None], res)
+  # vertex C
+  on_c = (d6 >= 0) & (d5 <= d6)
+  res = jnp.where(on_c[..., None], c, res)
+  # edge AB
+  t_ab = d1 / jnp.where(jnp.abs(d1 - d3) < eps, eps, d1 - d3)
+  on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+  res = jnp.where(on_ab[..., None], a + ab * t_ab[..., None], res)
+  # vertex B
+  on_b = (d3 >= 0) & (d4 <= d3)
+  res = jnp.where(on_b[..., None], b, res)
+  # vertex A
+  on_a = (d1 <= 0) & (d2 <= 0)
+  res = jnp.where(on_a[..., None], a, res)
+  return res
+
+
+def _hf_point_candidates(hf, size, nrow, ncol, pts, radius):
+  """Candidate contacts for query spheres vs the heightfield.
+
+  hf: (nrow, ncol) meters. pts: (..., 3) local-frame sphere centers,
+  radius: (...) sphere radii. Returns (dist, pos, normal) with a trailing
+  candidate axis of 18 (3x3 cells x 2 triangles); invalid candidates have
+  dist = 1e10. All local-frame."""
+  rx, ry = size[0], size[1]
+  cx = 2.0 * rx / (ncol - 1)
+  cy = 2.0 * ry / (nrow - 1)
+  u = (pts[..., 0] + rx) / cx  # continuous col coord
+  v = (pts[..., 1] + ry) / cy  # continuous row coord
+  j0 = jnp.floor(u).astype(jnp.int32)
+  i0 = jnp.floor(v).astype(jnp.int32)
+
+  offs = jnp.arange(-1, 2)
+  di = jnp.repeat(offs, 3)  # (9,)
+  dj = jnp.tile(offs, 3)
+  i = i0[..., None] + di  # (..., 9)
+  j = j0[..., None] + dj
+  valid = (i >= 0) & (i < nrow - 1) & (j >= 0) & (j < ncol - 1)
+  ic = jnp.clip(i, 0, nrow - 2)
+  jc = jnp.clip(j, 0, ncol - 2)
+
+  x0 = -rx + jc * cx
+  x1 = x0 + cx
+  y0 = -ry + ic * cy
+  y1 = y0 + cy
+  z00 = hf[ic, jc]
+  z10 = hf[ic, jc + 1]
+  z01 = hf[ic + 1, jc]
+  z11 = hf[ic + 1, jc + 1]
+  p00 = jnp.stack([x0, y0, z00], -1)  # (..., 9, 3)
+  p10 = jnp.stack([x1, y0, z10], -1)
+  p01 = jnp.stack([x0, y1, z01], -1)
+  p11 = jnp.stack([x1, y1, z11], -1)
+
+  # two triangles per cell: (p00, p10, p11) and (p00, p11, p01)
+  a = jnp.concatenate([p00, p00], -2)  # (..., 18, 3)
+  b = jnp.concatenate([p10, p11], -2)
+  c = jnp.concatenate([p11, p01], -2)
+  valid2 = jnp.concatenate([valid, valid], -1)
+
+  pe = pts[..., None, :]  # (..., 1, 3)
+  cp = _closest_on_triangle(pe, a, b, c)
+  n_tri = jnp.cross(b - a, c - a)
+  n_tri = n_tri / jnp.maximum(
+      jnp.linalg.norm(n_tri, axis=-1, keepdims=True), 1e-12)
+  delta = pe - cp
+  d = jnp.linalg.norm(delta, axis=-1)
+  sd = jnp.sum(delta * n_tri, axis=-1)
+  # projection inside the triangle -> signed plane distance (handles deep
+  # penetration); edge/corner -> unsigned euclidean
+  inside = (d - jnp.abs(sd)) < 1e-9
+  r = radius[..., None]
+  dist = jnp.where(inside, sd, d) - r
+  n_edge = delta / jnp.maximum(d, 1e-12)[..., None]
+  normal = jnp.where(inside[..., None], n_tri, n_edge)
+  # pos = midpoint between surfaces
+  pos = 0.5 * (cp + pe - normal * r[..., None])
+  dist = jnp.where(valid2, dist, 1e10)
+  return dist, pos, normal
+
+
+def _dedup_candidates(dist, pos):
+  """Invalidate candidates whose contact pos duplicates a deeper one
+  (adjacent triangles sharing an edge produce identical closest points)."""
+  k = dist.shape[-1]
+  d2 = jnp.sum(
+      jnp.square(pos[..., :, None, :] - pos[..., None, :, :]), -1)
+  same = d2 < 1e-10
+  # candidate i is a duplicate if some j with (dist_j, j) < (dist_i, i)
+  # lexicographic (depth first, index as tiebreak) has same pos
+  di = dist[..., :, None]
+  dj = dist[..., None, :]
+  idx = jnp.arange(k)
+  better = (dj < di) | ((dj == di) & (idx[None, :] < idx[:, None]))
+  dup = jnp.any(same & better, axis=-1)
+  return jnp.where(dup, 1e10, dist)
+
+
+def _hf_select(m: Model, d: Data, g1s, g2s, dist, pos, normal, npts):
+  """Top-npts deepest candidates; local->world transform."""
+  dist = _dedup_candidates(dist, pos)
+  neg = -dist
+  _, top = jax.lax.top_k(neg, npts)
+  tk = lambda x: jnp.take_along_axis(x, top[..., None], axis=-2) \
+      if x.ndim == dist.ndim + 1 else jnp.take_along_axis(x, top, axis=-1)
+  dist = tk(dist)
+  pos = tk(pos)
+  normal = tk(normal)
+  gh = g1s[0]
+  ph = d.geom_xpos[gh]
+  rh = d.geom_xmat[gh]
+  pos = ph + jnp.einsum('ab,nkb->nka', rh, pos)
+  normal = jnp.einsum('ab,nkb->nka', rh, normal)
+  return dist, pos, normal
+
+
+def _hfield_sphere(m: Model, d: Data, g1s, g2s, npts):
+  s = m.stat
+  gh = g1s[0]
+  ph, rh = d.geom_xpos[gh], d.geom_xmat[gh]
+  c_w = d.geom_xpos[g2s]  # (n, 3)
+  c_l = jnp.einsum('ba,nb->na', rh, c_w - ph)
+  r = m.geom_size[g2s, 0]
+  dist, pos, normal = _hf_point_candidates(
+      m.hfield_data, s.hfield_size, s.hfield_nrow, s.hfield_ncol, c_l, r)
+  return _hf_select(m, d, g1s, g2s, dist, pos, normal, npts)
+
+
+def _hfield_capsule(m: Model, d: Data, g1s, g2s, npts):
+  s = m.stat
+  gh = g1s[0]
+  ph, rh = d.geom_xpos[gh], d.geom_xmat[gh]
+  p = d.geom_xpos[g2s]
+  mat = d.geom_xmat[g2s]
+  r = m.geom_size[g2s, 0]
+  hl = m.geom_size[g2s, 1]
+  axis = mat[..., :, 2]
+  # 3 sample spheres along the segment
+  ts = jnp.array([-1.0, 0.0, 1.0])
+  cs = p[:, None, :] + axis[:, None, :] * (ts[None, :, None] * hl[:, None, None])
+  c_l = jnp.einsum('ba,nsb->nsa', rh, cs - ph)  # (n, 3, 3)
+  dist, pos, normal = _hf_point_candidates(
+      m.hfield_data, s.hfield_size, s.hfield_nrow, s.hfield_ncol, c_l,
+      jnp.broadcast_to(r[:, None], c_l.shape[:2]))
+  n = dist.shape[0]
+  dist = dist.reshape(n, -1)
+  pos = pos.reshape(n, -1, 3)
+  normal = normal.reshape(n, -1, 3)
+  return _hf_select(m, d, g1s, g2s, dist, pos, normal, npts)
+
+
+def _hfield_box(m: Model, d: Data, g1s, g2s, npts):
+  s = m.stat
+  gh = g1s[0]
+  ph, rh = d.geom_xpos[gh], d.geom_xmat[gh]
+  p = d.geom_xpos[g2s]
+  mat = d.geom_xmat[g2s]
+  size = m.geom_size[g2s]
+  sign = jnp.array([[sx, sy, sz] for sx in (-1., 1.) for sy in (-1., 1.)
+                    for sz in (-1., 1.)])  # (8, 3)
+  corners = p[:, None, :] + jnp.einsum(
+      'nab,nkb->nka', mat, sign[None] * size[:, None, :])
+  c_l = jnp.einsum('ba,nkb->nka', rh, corners - ph)  # (n, 8, 3)
+  dist, pos, normal = _hf_point_candidates(
+      m.hfield_data, s.hfield_size, s.hfield_nrow, s.hfield_ncol, c_l,
+      jnp.zeros(c_l.shape[:2]))
+  n = dist.shape[0]
+  dist = dist.reshape(n, -1)
+  pos = pos.reshape(n, -1, 3)
+  normal = normal.reshape(n, -1, 3)
+  return _hf_select(m, d, g1s, g2s, dist, pos, normal, npts)
+
+
+_HF_COLLIDERS = {
+    (GeomType.HFIELD, GeomType.SPHERE): _hfield_sphere,
+    (GeomType.HFIELD, GeomType.CAPSULE): _hfield_capsule,
+    (GeomType.HFIELD, GeomType.BOX): _hfield_box,
+}
+
+
 _COLLIDERS = {
     (GeomType.PLANE, GeomType.SPHERE): _plane_sphere,
     (GeomType.PLANE, GeomType.CAPSULE): _plane_capsule,
@@ -312,11 +535,14 @@ def collision(m: Model, d: Data) -> Data:
   includemargin = con.includemargin
 
   for key, (g1s, g2s, base, npts) in s.pairs.groups.items():
-    fn = _COLLIDERS[key]
     n = len(g1s)
-    p1, m1_, s1_ = d.geom_xpos[g1s], d.geom_xmat[g1s], m.geom_size[g1s]
-    p2, m2_, s2_ = d.geom_xpos[g2s], d.geom_xmat[g2s], m.geom_size[g2s]
-    cd, cp, cn = fn(p1, m1_, s1_, p2, m2_, s2_)
+    if key in _HF_COLLIDERS:
+      cd, cp, cn = _HF_COLLIDERS[key](m, d, g1s, g2s, npts)
+    else:
+      fn = _COLLIDERS[key]
+      p1, m1_, s1_ = d.geom_xpos[g1s], d.geom_xmat[g1s], m.geom_size[g1s]
+      p2, m2_, s2_ = d.geom_xpos[g2s], d.geom_xmat[g2s], m.geom_size[g2s]
+      cd, cp, cn = fn(p1, m1_, s1_, p2, m2_, s2_)
     cd = cd.reshape(n * npts)
     cp = cp.reshape(n * npts, 3)
     cn = cn.reshape(n * npts, 3)

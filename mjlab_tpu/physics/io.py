@@ -41,6 +41,9 @@ _COLLIDER_POINTS = {
     (GeomType.CAPSULE, GeomType.CAPSULE): 1,
     (GeomType.CAPSULE, GeomType.BOX): 2,
     (GeomType.BOX, GeomType.BOX): 8,
+    (GeomType.HFIELD, GeomType.SPHERE): 3,
+    (GeomType.HFIELD, GeomType.CAPSULE): 3,
+    (GeomType.HFIELD, GeomType.BOX): 4,
 }
 
 
@@ -197,8 +200,27 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
           raise NotImplementedError('free joint must be alone on its body')
   if m.na:
     raise NotImplementedError('actuator activation dynamics not supported')
+  if m.nhfield > 1:
+    raise NotImplementedError('at most one heightfield supported')
 
   pairs = _build_pairs(m)
+
+  if m.nhfield == 1:
+    hf_nrow, hf_ncol = int(m.hfield_nrow[0]), int(m.hfield_ncol[0])
+    hf_size = m.hfield_size[0].copy()
+    # mjModel stores normalized [0,1] elevations scaled by size[2]; the
+    # engine keeps the grid in meters.
+    hf_data = m.hfield_data[:hf_nrow * hf_ncol].reshape(
+        hf_nrow, hf_ncol) * hf_size[2]
+    hf_geomid = -1
+    for g in range(m.ngeom):
+      if m.geom_type[g] == int(mujoco.mjtGeom.mjGEOM_HFIELD):
+        hf_geomid = g
+  else:
+    hf_nrow = hf_ncol = 0
+    hf_size = np.zeros(4)
+    hf_data = np.zeros((1, 1))
+    hf_geomid = -1
 
   stat = ModelStatic(
       nq=int(m.nq), nv=int(m.nv), nu=int(m.nu), nbody=int(m.nbody),
@@ -259,6 +281,11 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
       site_names=_names(m, mujoco.mjtObj.mjOBJ_SITE, m.nsite),
       actuator_names=_names(m, mujoco.mjtObj.mjOBJ_ACTUATOR, m.nu),
       sensor_names=_names(m, mujoco.mjtObj.mjOBJ_SENSOR, m.nsensor),
+      nhfield=int(m.nhfield),
+      hfield_nrow=hf_nrow,
+      hfield_ncol=hf_ncol,
+      hfield_size=hf_size,
+      hfield_geomid=hf_geomid,
   )
 
   a = lambda x: jnp.asarray(x, dtype=dtype)
@@ -314,6 +341,7 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
       actuator_gear=a(m.actuator_gear),
       actuator_ctrlrange=a(m.actuator_ctrlrange),
       actuator_forcerange=a(m.actuator_forcerange),
+      hfield_data=a(hf_data),
   )
 
 

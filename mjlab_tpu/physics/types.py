@@ -226,6 +226,17 @@ class ModelStatic(StaticBase):
   actuator_names: tuple
   sensor_names: tuple
 
+  # heightfield terrain (at most one hfield asset; this is how generated
+  # rough terrain collides: one hfield geom instead of thousands of static
+  # boxes, keeping the static pair table tiny — the TPU answer to the
+  # reference's box-built terrain grid, reference
+  # src/mjlab/terrains/primitive_terrains.py + its mjwarp broadphase)
+  nhfield: int = 0
+  hfield_nrow: int = 0
+  hfield_ncol: int = 0
+  hfield_size: np.ndarray = None  # (4,) radius_x, radius_y, elev_z, base_z
+  hfield_geomid: int = -1
+
 
 @struct.dataclass
 class Option:
@@ -289,6 +300,11 @@ class Model:
   actuator_gear: jax.Array
   actuator_ctrlrange: jax.Array
   actuator_forcerange: jax.Array
+
+  # heightfield elevation grid in meters, (hfield_nrow, hfield_ncol);
+  # (1, 1) zeros when the model has no hfield. A pytree leaf (not a baked
+  # constant) so large terrains don't bloat the compiled executable.
+  hfield_data: jax.Array = None
 
 
 @struct.dataclass

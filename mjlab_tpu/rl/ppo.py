@@ -60,11 +60,14 @@ class Transition:
 
 
 class PPO:
-  """Functional PPO bound to a ManagerBasedRlEnv."""
+  """Functional PPO bound to a ManagerBasedRlEnv.
 
-  def __init__(self, env, cfg: RslRlOnPolicyRunnerCfg):
+  `step_fn` may be wrapped (e.g. by NanGuard) via the `step_fn` kwarg."""
+
+  def __init__(self, env, cfg: RslRlOnPolicyRunnerCfg, step_fn=None):
     self.env = env
     self.cfg = cfg
+    self._step_fn = step_fn or env.step_fn
     pol = cfg.policy
     alg = cfg.algorithm
 
@@ -143,7 +146,7 @@ class PPO:
                           self.cfg.clip_actions)
       logprob = gaussian_logprob(mean, std, action)
       env_state, (next_obs, reward, terminated, truncated, extras) = \
-          self.env.step_fn(env_state, action)
+          self._step_fn(env_state, action)
       done = terminated | truncated
       # episode stats
       reward_acc = reward_acc + reward

@@ -24,10 +24,10 @@ from mjlab_tpu.rl.ppo import PPO, TrainState
 class OnPolicyRunner:
 
   def __init__(self, env, cfg: RslRlOnPolicyRunnerCfg,
-               log_dir: str | None = None):
+               log_dir: str | None = None, step_fn=None):
     self.env = env
     self.cfg = cfg
-    self.alg = PPO(env, cfg)
+    self.alg = PPO(env, cfg, step_fn=step_fn)
     self.ts: TrainState = self.alg.init_state(cfg.seed)
     self.log_dir = log_dir
     self._log_file = None
@@ -99,6 +99,58 @@ class OnPolicyRunner:
 
   def get_inference_policy(self):
     return self.alg.policy_fn(self.ts)
+
+
+class VelocityOnPolicyRunner(OnPolicyRunner):
+  """Velocity-task runner: every checkpoint save also exports a
+  deployment ONNX with sim-to-real metadata (reference
+  src/mjlab/tasks/velocity/rl/runner.py:13-38)."""
+
+  def save(self, path: str):
+    super().save(path)
+    try:
+      from mjlab_tpu.rl.exporter import export_policy_as_onnx
+      export_policy_as_onnx(
+          jax.device_get(self.ts.params),
+          jax.device_get(self.ts.actor_norm), self.env,
+          os.path.splitext(path)[0] + '.onnx',
+          activation=self.cfg.policy.activation)
+    except Exception as e:  # export must never kill training
+      print(f'[export] onnx export failed: {e!r}')
+
+
+class MotionTrackingOnPolicyRunner(OnPolicyRunner):
+  """Tracking-task runner: ONNX export bakes the motion library into the
+  graph indexed by time_step (reference
+  src/mjlab/tasks/tracking/rl/runner.py + rl/exporter.py:28-80)."""
+
+  def save(self, path: str):
+    super().save(path)
+    try:
+      from mjlab_tpu.rl.exporter import export_motion_policy_as_onnx
+      motion = None
+      for term in self.env.command_manager.terms.values():
+        motion = getattr(term, 'motion', None)
+        if motion is not None:
+          break
+      if motion is None:
+        raise RuntimeError('no motion command term found')
+      export_motion_policy_as_onnx(
+          jax.device_get(self.ts.params),
+          jax.device_get(self.ts.actor_norm), self.env, motion,
+          os.path.splitext(path)[0] + '.onnx',
+          activation=self.cfg.policy.activation)
+    except Exception as e:
+      print(f'[export] onnx export failed: {e!r}')
+
+
+def make_runner(env, cfg, log_dir=None, step_fn=None) -> OnPolicyRunner:
+  """Pick the task-appropriate runner (reference train.py:94-99)."""
+  has_motion = any(
+      getattr(t, 'motion', None) is not None
+      for t in env.command_manager.terms.values())
+  cls = MotionTrackingOnPolicyRunner if has_motion else VelocityOnPolicyRunner
+  return cls(env, cfg, log_dir=log_dir, step_fn=step_fn)
 
 
 def get_checkpoint_path(log_root: str, run_regex: str = '.*',

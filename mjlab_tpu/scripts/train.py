@@ -21,6 +21,9 @@ def main(argv=None):
   parser.add_argument('--log-root', default='logs')
   parser.add_argument('--resume', action='store_true')
   parser.add_argument('--run-name', default=None)
+  parser.add_argument('--enable-nan-guard', action='store_true',
+                      help='dump replayable state snapshots when physics '
+                           'goes non-finite (reference train.py:56-58)')
   args, overrides = parser.parse_known_args(argv)
 
   from mjlab_tpu.tasks import registry
@@ -59,8 +62,13 @@ def main(argv=None):
     json.dump(_cfg_to_dict(agent_cfg), f, indent=2, default=repr)
 
   env = registry.make(args.task, cfg=env_cfg)
-  from mjlab_tpu.rl.runner import OnPolicyRunner, get_checkpoint_path
-  runner = OnPolicyRunner(env, agent_cfg, log_dir=log_dir)
+  from mjlab_tpu.rl.runner import get_checkpoint_path, make_runner
+  step_fn = None
+  if args.enable_nan_guard:
+    from mjlab_tpu.utils.nan_guard import NanGuard
+    step_fn = NanGuard(
+        env, out_dir=os.path.join(log_dir, 'nan_dumps')).wrap(env.step_fn)
+  runner = make_runner(env, agent_cfg, log_dir=log_dir, step_fn=step_fn)
   if args.resume or agent_cfg.resume:
     ckpt = get_checkpoint_path(
         os.path.join(args.log_root, agent_cfg.experiment_name),

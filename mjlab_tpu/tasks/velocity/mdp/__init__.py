@@ -6,7 +6,7 @@ from mjlab_tpu.tasks.velocity.mdp.curriculums import (  # noqa: F401
     terrain_levels_vel,
 )
 from mjlab_tpu.tasks.velocity.mdp.rewards import (  # noqa: F401
-    air_time_reward,
+    feet_air_time,
     feet_slide,
     foot_clearance_reward,
     track_ang_vel_exp,

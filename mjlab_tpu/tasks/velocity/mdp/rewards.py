@@ -53,19 +53,62 @@ def foot_clearance_reward(ctx, asset_cfg: SceneEntityCfg,
   return jnp.exp(-jnp.sum(z_err * vel_tanh, axis=-1) / std)
 
 
-def air_time_reward(ctx, sensor_names: tuple, asset_cfg: SceneEntityCfg,
-                    command_name: str = 'base_velocity',
-                    mode_time: float = 0.3):
-  """Simplified air-time shaping: reward alternating contact (half the
-  feet on the ground) scaled by command magnitude. A stateful
-  feet_air_time term (reference rewards.py:52-153) requires per-foot
-  clocks; this stateless surrogate rewards gait-like contact patterns."""
-  view = ctx.scene[asset_cfg.name]
-  contacts = jnp.stack(
+def feet_air_time(ctx, state, sensor_names: tuple = (),
+                  asset_name: str = 'robot',
+                  command_name: str = 'twist',
+                  threshold_min: float = 0.05,
+                  threshold_max: float = 0.15,
+                  command_threshold: float = 0.05,
+                  reward_mode: str = 'continuous',
+                  command_scale_type: str = 'smooth',
+                  command_scale_width: float = 0.2):
+  """Reward long steps (stateful: per-foot air/contact clocks threaded
+  through the reward-manager state; reference
+  tasks/velocity/mdp/rewards.py:52-153).
+
+  continuous: 1.0 per foot while in air with threshold_min < air_time <=
+  threshold_max. on_landing: clamp(last_air_time - threshold_min) / dt on
+  first contact. Scaled by a smooth (tanh) or hard command-magnitude
+  gate."""
+  view = ctx.scene[asset_name]
+  in_contact = jnp.stack(
       [view.sensor_data(ctx.data, s)[:, 0] > 0.5 for s in sensor_names], -1)
-  nf = contacts.shape[-1]
-  in_contact = jnp.sum(contacts, axis=-1)
-  cmd = ctx.commands[command_name]
-  moving = jnp.linalg.norm(cmd[:, :2], axis=-1) > 0.1
-  score = 1.0 - jnp.abs(in_contact / nf - 0.5) * 2.0
-  return jnp.where(moving, score, 0.0)
+  in_air = ~in_contact
+
+  air = state['current_air_time']
+  contact_t = state['current_contact_time']
+  last_air = state['last_air_time']
+
+  first_contact = (air > 0) & in_contact
+  last_air = jnp.where(first_contact, air, last_air)
+  air = jnp.where(in_contact, 0.0, air + ctx.step_dt)
+  contact_t = jnp.where(in_contact, contact_t + ctx.step_dt, 0.0)
+
+  if reward_mode == 'continuous':
+    per_foot = (in_air & (air > threshold_min) &
+                (air <= threshold_max)).astype(air.dtype)
+    reward = jnp.sum(per_foot, axis=-1)
+  else:  # on_landing
+    over = jnp.clip(last_air - threshold_min, 0.0,
+                    threshold_max - threshold_min)
+    reward = jnp.sum(over * first_contact, axis=-1) / ctx.step_dt
+
+  cmd_norm = jnp.linalg.norm(ctx.commands[command_name][:, :2], axis=-1)
+  if command_scale_type == 'smooth':
+    scale = 0.5 * (1.0 + jnp.tanh(
+        (cmd_norm - command_threshold) / command_scale_width))
+  else:
+    scale = (cmd_norm > command_threshold).astype(reward.dtype)
+  new_state = {'current_air_time': air, 'current_contact_time': contact_t,
+               'last_air_time': last_air}
+  return reward * scale, new_state
+
+
+def _feet_air_time_init(num_envs: int = 1, sensor_names: tuple = (), **kw):
+  del kw
+  z = jnp.zeros((num_envs, max(len(sensor_names), 1)))
+  return {'current_air_time': z, 'current_contact_time': z,
+          'last_air_time': z}
+
+
+feet_air_time.init_state = _feet_air_time_init

@@ -126,6 +126,14 @@ class RewardCfg:
       RewardTerm, func=mdp.action_rate_l2, weight=-0.1)
   flat_orientation_l2: RewardTerm = term(
       RewardTerm, func=mdp.flat_orientation_l2, weight=0.0)
+  # off by default, mirroring the reference's example wiring
+  # (reference velocity_env_cfg.py:201-215); robot cfgs fill sensor_names
+  air_time: RewardTerm = term(
+      RewardTerm, func=mdp.feet_air_time, weight=0.0,
+      params={'asset_name': 'robot', 'threshold_min': 0.05,
+              'threshold_max': 0.15, 'command_name': 'twist',
+              'command_threshold': 0.05, 'sensor_names': (),
+              'reward_mode': 'on_landing'})
 
 
 @dataclasses.dataclass
@@ -142,6 +150,9 @@ class CurriculumCfg:
       CurrTerm, func=mdp.commands_vel,
       params={'command_name': 'twist',
               'velocity_stages': [{'step': 500 * 24, 'range': (-3.0, 3.0)}]})
+  # enabled by the rough-terrain variant (reference
+  # velocity_env_cfg.py:226-241 terrain_levels_vel)
+  terrain_levels: 'CurrTerm | None' = None
 
 
 SIM_CFG = SimulationCfg(
@@ -162,3 +173,26 @@ class LocomotionVelocityEnvCfg(ManagerBasedRlEnvCfg):
   sim: SimulationCfg = field(default_factory=lambda: SIM_CFG)
   decimation: int = 4  # 50 Hz control
   episode_length_s: float = 20.0
+
+
+def make_rough_terrain_cfg() -> TerrainImporterCfg:
+  """Generator terrain with the default rough grid (reference
+  velocity_env_cfg.py:31-39)."""
+  from mjlab_tpu.terrains.config import ROUGH_TERRAINS_CFG
+  import copy
+  return TerrainImporterCfg(
+      terrain_type='generator',
+      terrain_generator=copy.deepcopy(ROUGH_TERRAINS_CFG))
+
+
+@dataclasses.dataclass
+class LocomotionVelocityRoughEnvCfg(LocomotionVelocityEnvCfg):
+  """Rough-terrain variant: procedural stairs grid + walked-distance
+  terrain-level curriculum (reference velocity_env_cfg.py:226-241)."""
+
+  def __post_init__(self):
+    self.scene.terrain = make_rough_terrain_cfg()
+    self.curriculum.terrain_levels = CurrTerm(
+        func=mdp.terrain_levels_vel,
+        params={'command_name': 'twist',
+                'asset_cfg': SceneEntityCfg('robot')})

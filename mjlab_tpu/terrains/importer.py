@@ -58,12 +58,16 @@ class TerrainImporter:
     else:
       raise ValueError(f'unknown terrain_type {cfg.terrain_type!r}')
 
-  def update_env_origins(self, env_mask: np.ndarray, move_up, move_down):
-    """Curriculum promotion/demotion (generator terrains).
+  @property
+  def origins_table(self) -> 'np.ndarray | None':
+    """(num_levels, num_types, 3) spawn-origin table for generator
+    terrains (None for plane). Consumed by the terrain-levels curriculum
+    term (reference terrain_importer.py:186-223), which keeps per-env
+    levels + origins in functional curriculum state."""
+    gen = getattr(self, 'generator', None)
+    return None if gen is None else gen.origins
 
-    Functional variant used by the curriculum manager; returns new origins
-    as device arrays is handled at the env layer (origins are static here
-    only for plane terrains)."""
-    raise NotImplementedError(
-        'curriculum origin updates are handled functionally at the env '
-        'layer (see envs/mdp/curriculums.py)')
+  @property
+  def max_level(self) -> int:
+    gen = getattr(self, 'generator', None)
+    return 1 if gen is None else gen.num_levels

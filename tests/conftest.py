@@ -1,6 +1,11 @@
 """Test configuration: run on CPU with 8 virtual XLA devices so sharding
 tests work without real multi-chip hardware (the TPU analog of the
-reference's CPU-Warp CI strategy, reference .github/workflows/ci.yml)."""
+reference's CPU-Warp CI strategy, reference .github/workflows/ci.yml).
+
+NOTE: under the axon TPU tunnel the JAX_PLATFORMS env var is overridden
+by the plugin, so the platform must be forced through jax.config (env
+alone silently leaves the suite running on the TPU chip, where float64 is
+emulated and the machine-precision oracle tests fail)."""
 
 import os
 
@@ -12,4 +17,9 @@ if '--xla_force_host_platform_device_count' not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
+
+assert jax.default_backend() == 'cpu', (
+    'tests must run on the CPU backend, got ' + jax.default_backend())
+assert jax.device_count() == 8, 'expected 8 virtual CPU devices'
