@@ -71,3 +71,32 @@ def test_command_resample_on_reset(go1_env):
   # commands are non-trivial
   assert np.abs(cmd0).max() > 0.0
   assert state.command['twist']['time_left'].shape == (4,)
+
+
+def test_rough_env_with_terrain_curriculum():
+  """Full rough-terrain env: hfield collision in the pipeline, spawn
+  origins from the terrain-level curriculum state, level updates on
+  reset (reference velocity_env_cfg.py:226-241 terrain curriculum)."""
+  cfg = registry.load_cfg('Mjlab-Velocity-Rough-Unitree-Go1')
+  cfg.scene.num_envs = 4
+  gen = cfg.scene.terrain.terrain_generator
+  gen.num_rows, gen.num_cols, gen.border_width = 2, 2, 4.0
+  env = registry.make('Mjlab-Velocity-Rough-Unitree-Go1', cfg=cfg)
+  state, obs = env.init_state(seed=0)
+  curr = state.curriculum['terrain_levels']
+  assert curr['levels'].shape == (4,)
+  assert curr['origins'].shape == (4, 3)
+  # spawn positions track per-env origins (xy within the assigned cell)
+  xy = np.asarray(state.data.qpos[:, :2])
+  np.testing.assert_allclose(xy, np.asarray(curr['origins'][:, :2]),
+                             atol=1.0)
+  a = jnp.zeros((4, 12))
+  for _ in range(5):
+    state, (obs, rew, term, trunc, extras) = env._step_jit(state, a)
+  assert bool(jnp.all(jnp.isfinite(state.data.qpos)))
+  assert bool(jnp.all(jnp.isfinite(rew)))
+  # robots stand on the terrain surface, not inside it
+  surf = env.scene.terrain.generator.sample_height(
+      np.asarray(state.data.qpos[:, 0]), np.asarray(state.data.qpos[:, 1]))
+  z_rel = np.asarray(state.data.qpos[:, 2]) - surf
+  assert (z_rel > 0.05).all() and (z_rel < 0.6).all()

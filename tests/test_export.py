@@ -1,0 +1,86 @@
+"""ONNX export tests: the framework's own protobuf writer round-trips and
+the serialized graph computes the same function as the flax actor
+(reference exports via torch.onnx: velocity/rl/exporter.py,
+tracking/rl/exporter.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mjlab_tpu.rl import onnx_writer
+from mjlab_tpu.rl.exporter import (
+    export_motion_policy_as_onnx,
+    export_policy_as_onnx,
+)
+from mjlab_tpu.rl.networks import ActorCritic, RunningNorm
+
+
+def _make_policy(obs_dim=24, act_dim=6):
+  net = ActorCritic(action_dim=act_dim, actor_hidden_dims=(32, 16),
+                    critic_hidden_dims=(32, 16))
+  params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, obs_dim)),
+                    jnp.zeros((1, obs_dim)))
+  return net, params
+
+
+def _run_graph(parsed, x):
+  """Execute the exported normalized-MLP graph with numpy."""
+  init = parsed['initializers']
+  h = (x - init['obs_mean']) / init['obs_std']
+  elu = lambda v: np.where(v > 0, v, np.expm1(v))
+  i = 0
+  while f'w{i}' in init:
+    h = h @ init[f'w{i}'] + init[f'b{i}']
+    if f'w{i + 1}' in init:
+      h = elu(h)
+    i += 1
+  return h
+
+
+def test_policy_export_roundtrip(tmp_path):
+  net, params = _make_policy()
+  norm = RunningNorm.create(24)
+  norm = norm.update(jax.random.normal(jax.random.PRNGKey(1), (100, 24)))
+  path = str(tmp_path / 'policy.onnx')
+  export_policy_as_onnx(params, norm, None, path, metadata={'task': 'x'})
+
+  parsed = onnx_writer.parse_model(path)
+  assert parsed['inputs'] == ['obs']
+  assert parsed['outputs'] == ['actions']
+  assert parsed['metadata']['task'] == 'x'
+  assert (tmp_path / 'policy.onnx.meta.json').exists()
+  ops = [n['op_type'] for n in parsed['nodes']]
+  assert ops == ['Sub', 'Div', 'Gemm', 'Elu', 'Gemm', 'Elu', 'Gemm']
+
+  x = np.random.default_rng(0).normal(size=(5, 24)).astype(np.float32)
+  out = _run_graph(parsed, x)
+  ref = np.asarray(net.apply(
+      params, jnp.asarray(norm.normalize(jnp.asarray(x))),
+      method=net.act_mean))
+  np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+class _FakeMotion:
+  joint_pos = np.random.default_rng(0).normal(size=(50, 12)).astype(
+      np.float32)
+  joint_vel = np.zeros((50, 12), np.float32)
+  body_pos_w = np.zeros((50, 3, 3), np.float32)
+  body_quat_w = np.tile(np.array([1., 0, 0, 0], np.float32), (50, 3, 1))
+
+
+def test_motion_policy_export(tmp_path):
+  net, params = _make_policy()
+  norm = RunningNorm.create(24)
+  path = str(tmp_path / 'motion_policy.onnx')
+  export_motion_policy_as_onnx(params, norm, None, _FakeMotion(), path)
+
+  parsed = onnx_writer.parse_model(path)
+  assert parsed['inputs'] == ['obs', 'time_step']
+  assert parsed['outputs'][0] == 'actions'
+  assert 'joint_pos' in parsed['outputs']
+  assert parsed['metadata']['motion_frames'] == '50'
+  # motion arrays baked as initializers
+  np.testing.assert_array_equal(
+      parsed['initializers']['motion_joint_pos'], _FakeMotion.joint_pos)
+  ops = [n['op_type'] for n in parsed['nodes']]
+  assert 'Clip' in ops and ops.count('Gather') == 4
