@@ -20,6 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+try:
+  jax.config.update('jax_compilation_cache_dir',
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 '.jax_cache'))
+  jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+except Exception:
+  pass
+
 
 def main():
   num_envs = int(os.environ.get('MJLAB_BENCH_ENVS', 4096))

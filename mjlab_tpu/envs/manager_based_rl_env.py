@@ -105,12 +105,21 @@ class ManagerBasedRlEnv:
     # --- bootstrap state (also used to probe observation dims) ---
     key = jax.random.PRNGKey(cfg.seed)
     key, k_start, k_cmd, k_ev = jax.random.split(key, 4)
-    data = make_batched_data(base_model, self.num_envs)
-    model, data = self.event_manager.apply_startup(self.model, data, k_start)
+    # The whole bootstrap (batched-data allocation, startup events,
+    # manager state init) runs as ONE jitted program: eager per-op
+    # dispatch is a network round trip on a tunneled TPU, and the jitted
+    # reset recomputes all derived physics quantities anyway, so nothing
+    # here needs eager execution (observation dims are probed by shape
+    # inference below).
+    def _bootstrap(model, k_start, k_cmd, k_ev):
+      data = make_batched_data(base_model, self.num_envs)
+      model, data = self.event_manager.apply_startup(model, data, k_start)
+      return (model, data, self.command_manager.init_state(k_cmd),
+              self.event_manager.init_state(k_ev))
+
+    model, data, cmd_state, ev_state = jax.jit(_bootstrap)(
+        self.model, k_start, k_cmd, k_ev)
     self.model = model
-    data = self._phys_forward(model, data)
-    cmd_state = self.command_manager.init_state(k_cmd)
-    ev_state = self.event_manager.init_state(k_ev)
 
     probe_state = EnvState(
         model=model, data=data, rng=key,
@@ -127,7 +136,7 @@ class ManagerBasedRlEnv:
 
     def probe(func, params):
       ctx = self._make_ctx(probe_state)
-      return func(ctx, **params).shape
+      return jax.eval_shape(lambda: func(ctx, **params)).shape
 
     self.observation_manager = ObservationManager(
         cfg.observations, self.scene, self.num_envs, probe)

@@ -10,6 +10,7 @@ fresh `Data` pytree.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import mujoco
 import numpy as np
@@ -288,7 +289,11 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
       hfield_geomid=hf_geomid,
   )
 
-  a = lambda x: jnp.asarray(x, dtype=dtype)
+  # Convert on the host and ship the whole pytree with ONE device_put at
+  # the end: per-field jnp.asarray(x, dtype) emits a convert op whose
+  # compilation is a remote round trip under tunneled TPU backends.
+  np_dtype = np.dtype(jnp.dtype(dtype).name)
+  a = lambda x: np.asarray(x, dtype=np_dtype)
   opt = Option(
       timestep=a(m.opt.timestep),
       gravity=a(m.opt.gravity),
@@ -297,7 +302,7 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
       ls_tolerance=a(m.opt.ls_tolerance),
   )
 
-  return Model(
+  model = Model(
       stat=stat,
       opt=opt,
       qpos0=a(m.qpos0),
@@ -343,6 +348,7 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
       actuator_forcerange=a(m.actuator_forcerange),
       hfield_data=a(hf_data),
   )
+  return jax.device_put(model)
 
 
 def nefc_max(stat: ModelStatic) -> int:

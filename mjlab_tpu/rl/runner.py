@@ -21,6 +21,11 @@ from mjlab_tpu.rl.config import RslRlOnPolicyRunnerCfg
 from mjlab_tpu.rl.ppo import PPO, TrainState
 
 
+def jnp_asarray_like(value, ref):
+  import jax.numpy as jnp
+  return jnp.asarray(value, dtype=ref.dtype)
+
+
 class OnPolicyRunner:
 
   def __init__(self, env, cfg: RslRlOnPolicyRunnerCfg,
@@ -74,27 +79,80 @@ class OnPolicyRunner:
       self._log_file.flush()
 
   # ------------------------------------------------------------------
-  def save(self, path: str):
-    import pickle
+  def save(self, path: str, full_state: bool = True):
+    """Orbax checkpoint of the FULL TrainState — params, optimizer state,
+    obs normalizers, env state pytree, PRNG key, iteration — strictly
+    more resumable than the reference's torch model_*.pt files (which
+    never checkpoint env/sim state; reference delegates to rsl_rl).
+    Falls back to pickle when orbax is unavailable."""
     payload = {
-        'params': jax.device_get(self.ts.params),
-        'actor_norm': jax.device_get(self.ts.actor_norm),
-        'critic_norm': jax.device_get(self.ts.critic_norm),
-        'lr': float(np.asarray(self.ts.lr)),
-        'iteration': int(np.asarray(self.ts.iteration)),
-        'cfg': self.cfg,
+        'params': self.ts.params,
+        'opt_state': self.ts.opt_state,
+        'actor_norm': self.ts.actor_norm,
+        'critic_norm': self.ts.critic_norm,
+        'lr': self.ts.lr,
+        'rng': self.ts.rng,
+        'iteration': self.ts.iteration,
     }
-    with open(path, 'wb') as f:
-      pickle.dump(payload, f)
+    if full_state:
+      payload['env_state'] = self.ts.env_state
+      payload['obs'] = self.ts.obs
+    payload = jax.device_get(payload)
+    try:
+      import orbax.checkpoint as ocp
+      ocp.PyTreeCheckpointer().save(os.path.abspath(path), payload,
+                                    force=True)
+    except ImportError:
+      import pickle
+      with open(path, 'wb') as f:
+        pickle.dump(payload, f)
 
-  def load(self, path: str):
-    import pickle
-    with open(path, 'rb') as f:
-      payload = pickle.load(f)
-    self.ts = self.ts.replace(
+  def load(self, path: str, load_env_state: bool = False):
+    """Restore from an orbax directory or a pickle file. Model/optimizer/
+    normalizer state always restores; env state only on request (resuming
+    rollouts mid-episode is rarely desirable across config changes)."""
+    path = os.path.abspath(path)
+    if os.path.isdir(path):
+      import orbax.checkpoint as ocp
+      template = {
+          'params': self.ts.params,
+          'opt_state': self.ts.opt_state,
+          'actor_norm': self.ts.actor_norm,
+          'critic_norm': self.ts.critic_norm,
+          'lr': self.ts.lr,
+          'rng': self.ts.rng,
+          'iteration': self.ts.iteration,
+          'env_state': self.ts.env_state,
+          'obs': self.ts.obs,
+      }
+      try:
+        payload = ocp.PyTreeCheckpointer().restore(path, item=template)
+      except Exception:
+        # checkpoint saved without env state
+        template.pop('env_state')
+        template.pop('obs')
+        payload = ocp.PyTreeCheckpointer().restore(path, item=template)
+    else:
+      import pickle
+      with open(path, 'rb') as f:
+        payload = pickle.load(f)
+    updates = dict(
         params=payload['params'],
         actor_norm=payload['actor_norm'],
         critic_norm=payload['critic_norm'])
+    if 'opt_state' in payload:
+      updates['opt_state'] = payload['opt_state']
+    if 'lr' in payload:
+      updates['lr'] = jnp_asarray_like(payload['lr'], self.ts.lr)
+    if 'iteration' in payload:
+      updates['iteration'] = jnp_asarray_like(payload['iteration'],
+                                              self.ts.iteration)
+    if load_env_state and 'env_state' in payload and \
+        payload['env_state'] is not None:
+      updates['env_state'] = payload['env_state']
+      if payload.get('obs') is not None:
+        updates['obs'] = payload['obs']
+    self.ts = self.ts.replace(**updates)
     return payload
 
   def get_inference_policy(self):

@@ -71,8 +71,15 @@ def main(argv=None):
     render_trajectory(env, np.stack(qpos_hist), args.render)
     print(f'[play] wrote {args.render}')
   if args.viewer:
-    from mjlab_tpu.viewer.native import run_viewer
-    run_viewer(env, policy)
+    # native GUI when a display exists, else viser web viewer
+    # (reference play.py:46-54 auto-select)
+    import os
+    if os.environ.get('DISPLAY'):
+      from mjlab_tpu.viewer.native import run_viewer
+      run_viewer(env, policy)
+    else:
+      from mjlab_tpu.viewer.viser_viewer import ViserViewer
+      ViserViewer(env, policy).run()
 
 
 if __name__ == '__main__':

@@ -1,44 +1,72 @@
 """Native interactive viewer: policy-in-the-loop GUI via
-mujoco.viewer.launch_passive (reference src/mjlab/viewer/native.py).
+mujoco.viewer.launch_passive (reference src/mjlab/viewer/native.py +
+keys.py keyboard bindings).
 
 The selected env's (qpos, qvel) is copied from the device batch to a CPU
 MjData each frame and mj_forward'ed for display; interactive perturbations
-are written back as external wrenches. Requires a display."""
+are written back as external wrenches on the selected env. Requires a
+display.
+
+Keys: Space pause | ]/[ env next/prev | +/- speed | Backspace reset."""
 
 from __future__ import annotations
 
-import time
-
 import numpy as np
+
+from mjlab_tpu.viewer.base import BaseViewer
+
+
+class NativeMujocoViewer(BaseViewer):
+
+  def setup(self):
+    import mujoco
+    import mujoco.viewer
+    self._mujoco = mujoco
+    self.mj = self.env.scene.mj_model
+    self.md = mujoco.MjData(self.mj)
+    self.viewer = mujoco.viewer.launch_passive(
+        self.mj, self.md, key_callback=self._on_key)
+
+  def _on_key(self, keycode: int):
+    key = chr(keycode) if 0 <= keycode < 0x110000 else ''
+    if key == ' ':
+      self.toggle_pause()
+    elif key == ']':
+      self.next_env()
+    elif key == '[':
+      self.prev_env()
+    elif key in ('+', '='):
+      self.speed_up()
+    elif key == '-':
+      self.speed_down()
+    elif keycode == 259:  # backspace
+      self.request_reset()
+
+  def is_running(self) -> bool:
+    return self._running and self.viewer.is_running()
+
+  def sync_env_to_viewer(self):
+    e = self.env_index
+    self.md.qpos[:] = np.asarray(self.env.state.data.qpos[e])
+    self.md.qvel[:] = np.asarray(self.env.state.data.qvel[e])
+    self._mujoco.mj_forward(self.mj, self.md)
+    self.viewer.sync()
+
+  def sync_viewer_to_env(self):
+    # GUI perturbation forces -> xfrc_applied on the selected env
+    # (reference native.py:191-199)
+    if self.md.xfrc_applied.any():
+      import jax.numpy as jnp
+      e = self.env_index
+      data = self.env.state.data
+      self.env._state = self.env.state.replace(
+          data=data.replace(
+              xfrc_applied=data.xfrc_applied.at[e].set(
+                  jnp.asarray(self.md.xfrc_applied))))
+
+  def teardown(self):
+    self.viewer.close()
 
 
 def run_viewer(env, policy, env_index: int = 0, fps: float = 50.0):
-  import jax.numpy as jnp
-  import mujoco
-  import mujoco.viewer
-
-  mj = env.scene.mj_model
-  md = mujoco.MjData(mj)
-  obs, _ = env.reset()
-
-  with mujoco.viewer.launch_passive(mj, md) as viewer:
-    while viewer.is_running():
-      t0 = time.time()
-      action = policy(obs)
-      obs, *_ = env.step(action)
-      qpos = np.asarray(env.state.data.qpos[env_index])
-      qvel = np.asarray(env.state.data.qvel[env_index])
-      md.qpos[:] = qpos
-      md.qvel[:] = qvel
-      mujoco.mj_forward(mj, md)
-      viewer.sync()
-      # apply GUI perturbation forces back into the sim
-      if md.xfrc_applied.any():
-        xfrc = jnp.asarray(md.xfrc_applied)
-        data = env.state.data
-        env._state = env.state.replace(
-            data=data.replace(
-                xfrc_applied=data.xfrc_applied.at[env_index].set(xfrc)))
-      dt = time.time() - t0
-      if dt < 1.0 / fps:
-        time.sleep(1.0 / fps - dt)
+  NativeMujocoViewer(env, policy, env_index=env_index, fps=fps).run()
