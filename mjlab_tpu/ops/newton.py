@@ -1,20 +1,18 @@
 """The full Newton contact solver as one Pallas TPU kernel.
 
-Motivation: even with the factorization fused (ops/pd_solve.py), each
-Newton iteration still issues ~40 small XLA ops (Hessian assembly,
-constraint-space matvecs, linesearch) whose fixed overhead dominates at
-robot-scale sizes (nv~35, nefc~120). This kernel runs ALL solver
-iterations for a 128-env lane block inside VMEM: per block it reads
-M/J/efc once from HBM and writes qacc/efc_force once.
+Runs ALL solver iterations for a 128-env lane block inside VMEM: per
+block it reads M / contact-Jacobian / constraint blocks once from HBM and
+writes qacc + constraint forces once. Math matches physics/solver.py
+(MuJoCo Newton, pyramidal cone, one-sided quadratic + Huber friction-loss
+costs, parallel linesearch) with the same structured constraint blocks:
+friction rows (J = I) and limit rows (one-hot) contribute only to the
+Hessian diagonal; only contact rows are dense.
 
-Math is identical to physics/solver.py (MuJoCo Newton, pyramidal cone,
-one-sided quadratic + Huber friction-loss costs, parallel linesearch).
 Layout is structure-of-arrays: batch on the 128-lane axis, so each scalar
-of the per-env recursions is a 128-wide VPU op.
-
-Used via jax.custom_batching.custom_vmap from physics/solver.py — the
-unbatched/CPU path keeps the pure jax.numpy implementation (float64
-oracle tests run that path).
+of the per-env recursions is a 128-wide VPU vector op. Selected via
+MJLAB_NEWTON_KERNEL=1 (physics/solver.py); at G1 scale the default
+vmapped-XLA path with the fused Cholesky kernel (ops/pd_solve.py)
+measures slightly faster, but this kernel wins as nefc grows.
 """
 
 from __future__ import annotations
@@ -26,145 +24,176 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# 64 lanes per block keeps peak VMEM (J block + one (nefc,n,BB)
-# transient + Cholesky scratch, double-buffered) under the 16MB budget.
 _LANES = 128
 _EPS = 1e-15
 
 
 def _rsum(v):
   """(R, BB) -> (1, BB) sum. Mosaic cannot lower sublane reductions whose
-  output drops to 1D/lane-only (even via keepdims); reducing a middle axis
-  of a 3D view lowers cleanly."""
+  output drops to lane-only 1D (even via keepdims); reducing the middle
+  axis of a 3D view lowers cleanly."""
   return jnp.sum(v[None], axis=1)
 
 
-def _make_kernel(iterations: int, n: int, nefc: int):
-  """Kernel closure over static sizes/iteration count."""
+def _make_kernel(iterations: int, n: int, ncr: int, nl: int, ldof: tuple):
+  """Kernel closure over static sizes/iteration count/limit dof map."""
 
-  def forces(jar, D, floss, oneside_f, active_f):
-    """Returns (row forces, quadratic-zone mask as FLOAT 0/1) — Mosaic
-    dislikes mixed bool/i1 selects, so masks stay in float arithmetic."""
-    is_fric = (floss > 0).astype(jar.dtype)
-    neg = (jar < 0).astype(jar.dtype)
-    f_one = -D * jar * neg
-    f_fric = -jnp.clip(D * jar, -floss, floss)
-    in_huber = (jnp.abs(D * jar) < floss).astype(jar.dtype)
-    f = oneside_f * f_one + (1.0 - oneside_f) * is_fric * f_fric
-    quad_f = (oneside_f * neg
-              + (1.0 - oneside_f) * is_fric * in_huber) * active_f
-    return f * active_f, quad_f
+  def f_oneside(jar, D, act):
+    negm = (jar < 0).astype(jar.dtype) * act
+    return -D * jar * negm, negm
 
-  def cost_s(jar, D, floss, oneside_f, active_f):
+  def f_friction(jar, D, floss, act):
+    actf = act * (floss > 0).astype(jar.dtype)
+    f = -jnp.clip(D * jar, -floss, floss) * actf
+    quad = (jnp.abs(D * jar) < floss).astype(jar.dtype) * actf
+    return f, quad
+
+  def c_oneside(jar, D, act):
+    negm = (jar < 0).astype(jar.dtype) * act
+    return _rsum(0.5 * D * jar * jar * negm)
+
+  def c_friction(jar, D, floss, act):
+    actf = act * (floss > 0).astype(jar.dtype)
     quad = 0.5 * D * jar * jar
     lin = floss * jnp.abs(jar) - 0.5 * floss * floss / jnp.maximum(D, _EPS)
-    is_fric = (floss > 0).astype(jar.dtype)
-    neg = (jar < 0).astype(jar.dtype)
-    in_huber = (jnp.abs(D * jar) < floss).astype(jar.dtype)
-    s_one = quad * neg
-    s_fric = in_huber * quad + (1.0 - in_huber) * lin
-    s = oneside_f * s_one + (1.0 - oneside_f) * is_fric * s_fric
-    # per-env scalars stay 2D (1, BB): Mosaic cannot lower sublane
-    # reductions with 1D outputs
-    return _rsum(s * active_f)
+    huber = (jnp.abs(D * jar) < floss).astype(jar.dtype)
+    return _rsum((huber * quad + (1.0 - huber) * lin) * actf)
 
-  def kernel(m_ref, j_ref, aref_ref, d_ref, floss_ref, oneside_ref,
-             act_ref, a0_ref, ws_ref, x_ref, f_ref, h_ref, l_ref):
-    # shapes: m (n,n,BB), j (nefc,n,BB), efc vectors (nefc,BB),
-    # a0/ws (n,BB); outputs x (n,BB), f (nefc,BB);
-    # scratch h/l (n,n,BB)
-    D = d_ref[:, :]
+  def kernel(m_ref, cj_ref, caref_ref, cd_ref, cact_ref,
+             lsign_ref, laref_ref, ld_ref, lact_ref,
+             faref_ref, fd_ref, floss_ref, fact_ref,
+             a0_ref, ws_ref,
+             x_ref, ff_ref, fl_ref, fc_ref, h_ref, l_ref):
+    M = m_ref[:, :, :]          # (n,n,BB)
+    cJ = cj_ref[:, :, :]        # (ncr,n,BB)
+    c_aref = caref_ref[:, :]    # (ncr,BB)
+    cD = cd_ref[:, :]
+    c_act = cact_ref[:, :]      # float 0/1
+    l_sign = lsign_ref[:, :]    # (nl,BB)
+    l_aref = laref_ref[:, :]
+    lD = ld_ref[:, :]
+    l_act = lact_ref[:, :]
+    f_aref = faref_ref[:, :]    # (n,BB)
+    fD = fd_ref[:, :]
     floss = floss_ref[:, :]
-    oneside = oneside_ref[:, :]  # float 0/1
-    active_f = act_ref[:, :]
+    f_act = fact_ref[:, :]
     a0 = a0_ref[:, :]
-    J = j_ref[:, :, :]
-    M = m_ref[:, :, :]
-    aref = aref_ref[:, :]
+    ws = ws_ref[:, :]
 
-    # Matvecs as accumulation loops over the small static dim: peak VMEM
-    # temporaries stay at (nefc,BB)/(n,BB) instead of (nefc,n,BB).
-    def jmul(x):  # (n,BB) -> (nefc,BB)
-      acc = J[:, 0, :] * x[0:1, :]
+    def cjmul(x):  # (n,BB) -> (ncr,BB)
+      acc = cJ[:, 0, :] * x[0:1, :]
       for i in range(1, n):
-        acc = acc + J[:, i, :] * x[i:i + 1, :]
+        acc = acc + cJ[:, i, :] * x[i:i + 1, :]
       return acc
 
-    def jtmul(f):  # (nefc,BB) -> (n,BB)
-      return jnp.sum(J * f[:, None, :], axis=0)
+    def cjtmul(f):  # (ncr,BB) -> (n,BB)
+      return jnp.sum(cJ * f[:, None, :], axis=0)
 
-    def mmul(x):  # (n,BB) -> (n,BB)
+    def mmul(x):
       acc = M[:, 0, :] * x[0:1, :]
       for i in range(1, n):
         acc = acc + M[:, i, :] * x[i:i + 1, :]
       return acc
 
-    def total_cost(x):  # -> (1,BB)
-      jar = jmul(x) - aref
-      dx = x - a0
-      return 0.5 * _rsum(dx * mmul(dx)) + \
-          cost_s(jar, D, floss, oneside, active_f)
+    def gather_l(x):  # rows x[ldof] -> (nl,BB)
+      return jnp.concatenate([x[dof:dof + 1, :] for dof in ldof], axis=0)
 
-    ws = ws_ref[:, :]
+    def scatter_l(base, vals):  # base (n,BB) += scatter of (nl,BB)
+      dof_to_j = {dof: j for j, dof in enumerate(ldof)}
+      rows = []
+      for i in range(n):
+        row = base[i:i + 1, :]
+        if i in dof_to_j:
+          j = dof_to_j[i]
+          row = row + vals[j:j + 1, :]
+        rows.append(row)
+      return jnp.concatenate(rows, axis=0)
+
+    def jars_of(x):
+      return (x - f_aref, l_sign * gather_l(x) - l_aref, cjmul(x) - c_aref)
+
+    def forces_of(jars):
+      jf, jl, jc = jars
+      ff, qf = f_friction(jf, fD, floss, f_act)
+      fl, ql = f_oneside(jl, lD, l_act)
+      fc, qc = f_oneside(jc, cD, c_act)
+      return (ff, fl, fc), (qf, ql, qc)
+
+    def total_cost(x):
+      jf, jl, jc = jars_of(x)
+      dx = x - a0
+      return (0.5 * _rsum(dx * mmul(dx))
+              + c_friction(jf, fD, floss, f_act)
+              + c_oneside(jl, lD, l_act)
+              + c_oneside(jc, cD, c_act))
+
     use_ws = total_cost(ws) < total_cost(a0)  # (1,BB)
     x = jnp.where(use_ws, ws, a0)
 
     for _ in range(iterations):
-      jar = jmul(x) - aref
-      f, quad_f = forces(jar, D, floss, oneside, active_f)
-      grad = mmul(x - a0) - jtmul(f)
-      Dq = D * quad_f  # (nefc,BB)
+      jars = jars_of(x)
+      (ff, fl, fc), (qf, ql, qc) = forces_of(jars)
+      grad = mmul(x - a0) - scatter_l(ff + cjtmul(fc), l_sign * fl)
+      Dq_c = cD * qc  # (ncr,BB)
+      diag = scatter_l(fD * qf, lD * ql)  # (n,BB)
 
-      # H = M + J^T diag(Dq) J, column by column; per column one
-      # (nefc,n,BB) transient multiply-reduce (sized by block_b)
+      # H = M + diag + cJ^T Dq_c cJ, column by column
       for jcol in range(n):
-        w = J[:, jcol, :] * Dq  # (nefc,BB)
-        h_ref[:, jcol, :] = M[:, jcol, :] + jnp.sum(
-            J * w[:, None, :], axis=0)
+        w = cJ[:, jcol, :] * Dq_c  # (ncr,BB)
+        col = M[:, jcol, :] + jnp.sum(cJ * w[:, None, :], axis=0)
+        col = col + jnp.where(
+            (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == jcol),
+            diag[jcol:jcol + 1, :], 0.0)
+        h_ref[:, jcol, :] = col
 
-      # Cholesky of H (+ tiny ridge on the diagonal)
-      for jc in range(n):
-        if jc:
-          acc = jnp.sum(l_ref[:, :jc, :] * l_ref[jc:jc + 1, :jc, :],
+      # Cholesky (+ tiny ridge)
+      for jc_ in range(n):
+        if jc_:
+          acc = jnp.sum(l_ref[:, :jc_, :] * l_ref[jc_:jc_ + 1, :jc_, :],
                         axis=1)
-          col = h_ref[:, jc, :] - acc
+          col = h_ref[:, jc_, :] - acc
         else:
-          col = h_ref[:, jc, :]
-        ddiag = jnp.sqrt(jnp.maximum(col[jc:jc + 1, :] + 1e-12, 1e-12))
-        l_ref[:, jc, :] = col / ddiag
+          col = h_ref[:, jc_, :]
+        ddiag = jnp.sqrt(jnp.maximum(col[jc_:jc_ + 1, :] + 1e-12, 1e-12))
+        l_ref[:, jc_, :] = col / ddiag
 
-      # solve H dx = -grad (ys/xs entries are (1,BB))
+      # solve H dx = -grad
       ys = []
-      for jc in range(n):
-        acc = -grad[jc:jc + 1, :]
-        for k in range(jc):
-          acc = acc - l_ref[jc:jc + 1, k, :] * ys[k]
-        ys.append(acc / l_ref[jc:jc + 1, jc, :])
+      for jc_ in range(n):
+        acc = -grad[jc_:jc_ + 1, :]
+        for k in range(jc_):
+          acc = acc - l_ref[jc_:jc_ + 1, k, :] * ys[k]
+        ys.append(acc / l_ref[jc_:jc_ + 1, jc_, :])
       xs = [None] * n
-      for jc in range(n - 1, -1, -1):
-        acc = ys[jc]
-        for k in range(jc + 1, n):
-          acc = acc - l_ref[k:k + 1, jc, :] * xs[k]
-        xs[jc] = acc / l_ref[jc:jc + 1, jc, :]
-      dx = jnp.concatenate(xs, axis=0)  # (n,BB)
+      for jc_ in range(n - 1, -1, -1):
+        acc = ys[jc_]
+        for k in range(jc_ + 1, n):
+          acc = acc - l_ref[k:k + 1, jc_, :] * xs[k]
+        xs[jc_] = acc / l_ref[jc_:jc_ + 1, jc_, :]
+      dx = jnp.concatenate(xs, axis=0)
 
-      # parallel linesearch on convex piecewise-quadratic phi
-      jd = jmul(dx)
+      # parallel linesearch
+      jd_f = dx
+      jd_l = l_sign * gather_l(dx)
+      jd_c = cjmul(dx)
       Md = mmul(dx)
-      dMd = _rsum(dx * Md)  # (1,BB)
+      dMd = _rsum(dx * Md)
       xMd = _rsum((x - a0) * Md)
+      jf0, jl0, jc0 = jars
 
-      def phi_gh(alpha):  # alpha (1,BB)
-        jar_a = jar + alpha * jd
-        f_a, quad_a = forces(jar_a, D, floss, oneside, active_f)
-        g = alpha * dMd + xMd - _rsum(f_a * jd)
-        h = dMd + _rsum(D * quad_a * jd * jd)
+      def phi_gh(alpha):  # (1,BB)
+        (ff_a, fl_a, fc_a), (qf_a, ql_a, qc_a) = forces_of(
+            (jf0 + alpha * jd_f, jl0 + alpha * jd_l, jc0 + alpha * jd_c))
+        g = (alpha * dMd + xMd - _rsum(ff_a * jd_f)
+             - _rsum(fl_a * jd_l) - _rsum(fc_a * jd_c))
+        h = (dMd + _rsum(fD * qf_a * jd_f * jd_f)
+             + _rsum(lD * ql_a * jd_l * jd_l)
+             + _rsum(cD * qc_a * jd_c * jd_c))
         return g, h
 
       zero = jnp.zeros_like(dMd)
       g0, h0 = phi_gh(zero)
-      a1 = -g0 / jnp.maximum(h0, _EPS)
-      a1 = jnp.maximum(a1, 0.0)
+      a1 = jnp.maximum(-g0 / jnp.maximum(h0, _EPS), 0.0)
       scales = (0.0, 0.125, 0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 4.0, 8.0)
       lo = zero
       g_lo = g0
@@ -194,66 +223,70 @@ def _make_kernel(iterations: int, n: int, nefc: int):
       alpha = jnp.maximum(alpha, 0.0)
       x = x + alpha * dx
 
-    jar = jmul(x) - aref
-    f, _ = forces(jar, D, floss, oneside, active_f)
+    (ff, fl, fc), _ = forces_of(jars_of(x))
     x_ref[:, :] = x
-    f_ref[:, :] = f
+    ff_ref[:, :] = ff
+    fl_ref[:, :] = fl
+    fc_ref[:, :] = fc
 
   return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('iterations', 'block_b'))
-def newton_solve_tpu(M, a0, ws, J, aref, D, floss, active, oneside,
-                     iterations: int, block_b: int = _LANES):
-  """Batched Newton solve. M (B,n,n), a0/ws (B,n), J (B,nefc,n),
-  efc vectors (B,nefc). Returns (qacc (B,n), efc_force (B,nefc))."""
+                   static_argnames=('iterations', 'ldof', 'block_b'))
+def newton_solve_tpu(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
+                     l_act, f_aref, fD, floss, f_act,
+                     iterations: int, ldof: tuple, block_b: int = _LANES):
+  """Batched structured Newton solve. Returns (qacc (B,n), ff (B,n),
+  fl (B,nl), fc (B,ncr))."""
   B, n, _ = M.shape
-  nefc = J.shape[1]
+  ncr = cJ.shape[1]
+  nl = l_sign.shape[1]
   pad = (-B) % block_b
-  if pad:
-    padm = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), (pad, n, n))
-    M = jnp.concatenate([M, padm], 0)
-    zn = jnp.zeros((pad, n), M.dtype)
-    ze = jnp.zeros((pad, nefc), M.dtype)
-    a0 = jnp.concatenate([a0, zn], 0)
-    ws = jnp.concatenate([ws, zn], 0)
-    J = jnp.concatenate([J, jnp.zeros((pad, nefc, n), M.dtype)], 0)
-    aref = jnp.concatenate([aref, ze], 0)
-    D = jnp.concatenate([D, ze], 0)
-    floss = jnp.concatenate([floss, ze], 0)
-    active = jnp.concatenate([active, jnp.zeros((pad, nefc), bool)], 0)
-    oneside = jnp.concatenate([oneside, jnp.zeros((pad, nefc), bool)], 0)
+  fz = lambda x: x.astype(M.dtype)
+
+  def padded(x, eye=False):
+    if not pad:
+      return x
+    if eye:
+      extra = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype),
+                               (pad,) + x.shape[1:])
+    else:
+      extra = jnp.zeros((pad,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([x, extra], 0)
+
+  args = [padded(M, eye=True), padded(cJ), padded(c_aref), padded(cD),
+          padded(fz(c_act)), padded(l_sign), padded(l_aref), padded(lD),
+          padded(fz(l_act)), padded(f_aref), padded(fD), padded(floss),
+          padded(fz(f_act)), padded(a0), padded(ws)]
   Bp = B + pad
+  tr = lambda x: jnp.moveaxis(x, 0, -1)
+  args = [tr(a) for a in args]
+  # kernel arg order: M, cJ, c_aref, cD, c_act, l_sign, l_aref, lD, l_act,
+  # f_aref, fD, floss, f_act, a0, ws
 
-  t3 = lambda x: jnp.transpose(x, (1, 2, 0))
-  t2 = lambda x: jnp.transpose(x, (1, 0))
-  f32 = lambda x: x.astype(M.dtype)
+  def spec(shape):
+    if len(shape) == 2:
+      return pl.BlockSpec(shape[:-1] + (block_b,), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    return pl.BlockSpec(shape[:-1] + (block_b,), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
 
-  kernel = _make_kernel(iterations, n, nefc)
-  vspec = lambda shape: pl.BlockSpec(
-      shape + (block_b,),
-      (lambda i: (0, i)) if len(shape) == 1 else (lambda i: (0, 0, i)),
-      memory_space=pltpu.VMEM)
-  x_t, f_t = pl.pallas_call(
+  in_specs = [spec(a.shape) for a in args]
+  kernel = _make_kernel(iterations, n, ncr, nl, ldof)
+  out = pl.pallas_call(
       kernel,
       grid=(Bp // block_b,),
-      in_specs=[
-          vspec((n, n)),      # M
-          vspec((nefc, n)),   # J
-          vspec((nefc,)),     # aref
-          vspec((nefc,)),     # D
-          vspec((nefc,)),     # floss
-          vspec((nefc,)),     # oneside
-          vspec((nefc,)),     # active
-          vspec((n,)),        # a0
-          vspec((n,)),        # ws
-      ],
-      out_specs=[vspec((n,)), vspec((nefc,))],
+      in_specs=in_specs,
+      out_specs=[spec((n, Bp)), spec((n, Bp)), spec((nl, Bp)),
+                 spec((ncr, Bp))],
       out_shape=[jax.ShapeDtypeStruct((n, Bp), M.dtype),
-                 jax.ShapeDtypeStruct((nefc, Bp), M.dtype)],
+                 jax.ShapeDtypeStruct((n, Bp), M.dtype),
+                 jax.ShapeDtypeStruct((nl, Bp), M.dtype),
+                 jax.ShapeDtypeStruct((ncr, Bp), M.dtype)],
       scratch_shapes=[pltpu.VMEM((n, n, block_b), M.dtype),
                       pltpu.VMEM((n, n, block_b), M.dtype)],
-  )(t3(M), t3(J), t2(aref), t2(D), t2(floss), t2(f32(oneside)),
-    t2(f32(active)), t2(a0), t2(ws))
-  return jnp.transpose(x_t, (1, 0))[:B], jnp.transpose(f_t, (1, 0))[:B]
+  )(*args)
+  x_t, ff_t, fl_t, fc_t = out
+  back = lambda x: jnp.moveaxis(x, -1, 0)[:B]
+  return back(x_t), back(ff_t), back(fl_t), back(fc_t)

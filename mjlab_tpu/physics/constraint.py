@@ -41,6 +41,15 @@ class EfcLayout:
   con_base: np.ndarray  # (ncon,) first row of each contact slot
   con_rows: np.ndarray  # (ncon,) number of rows of each slot
 
+  @property
+  def nl(self) -> int:
+    return len(self.limit_jnt)
+
+  @property
+  def ncr(self) -> int:
+    """Total dense contact rows."""
+    return self.nefc - self.nf - self.nl
+
 
 @functools.lru_cache(maxsize=32)
 def efc_layout(stat: ModelStatic) -> EfcLayout:
@@ -113,62 +122,80 @@ def _kbi(solref: jax.Array, solimp: jax.Array, pos: jax.Array,
 
 
 def make_efc(m: Model, d: Data):
-  """Assemble dense efc arrays. Returns a dict of (nefc, ...) arrays."""
+  """Assemble constraint blocks, exploiting row structure: dof-friction
+  rows have J = I and joint-limit rows are one-hot (+-1 at one dof), so
+  only CONTACT rows carry a dense Jacobian. The solver consumes the
+  blocks directly — Hessian contributions of friction/limit rows are
+  diagonal — which roughly halves the dense constraint work vs a flat
+  (nefc, nv) Jacobian (nefc ~ 2x contact rows for the humanoid tasks).
+
+  Returns a dict:
+    f_D, f_aref, f_floss, f_active           (nv,)   friction (Huber)
+    l_sign, l_D, l_aref, l_active, l_pos     (nl,)   limits (one-sided)
+    c_J (ncr, nv), c_D, c_aref, c_active, c_pos      contacts (one-sided)
+  Row order for dense views (efc_force layout): friction, limits,
+  contacts — identical to MuJoCo-style [friction | limit | contact].
+  """
   s = m.stat
   lay = efc_layout(s)
   dtype = d.qpos.dtype
-  nefc, nv = lay.nefc, s.nv
+  nv = s.nv
+  nl = lay.nl
+  ncr = lay.ncr
   ts = m.opt.timestep.astype(dtype)
   refsafe = not (s.disableflags & DisableBit.REFSAFE)
-
-  J = jnp.zeros((nefc, nv), dtype)
-  pos = jnp.zeros(nefc, dtype)
-  D = jnp.zeros(nefc, dtype)
-  aref = jnp.zeros(nefc, dtype)
-  floss = jnp.zeros(nefc, dtype)
-  active = jnp.zeros(nefc, dtype=bool)
-  # row class: 0 = friction (Huber), 1 = one-sided inequality
-  oneside = jnp.zeros(nefc, dtype=bool)
 
   # ---- dof friction rows ----
   if not (s.disableflags & DisableBit.FRICTIONLOSS):
     b, k, imp = _kbi(m.dof_solref, m.dof_solimp, jnp.zeros(nv, dtype), ts,
                      refsafe)
-    vel = d.qvel
     r = jnp.maximum((1.0 - imp) / imp * m.dof_invweight0, _MINVAL)
-    J = J.at[jnp.arange(nv), jnp.arange(nv)].set(1.0)
-    D = D.at[:nv].set(1.0 / r)
-    aref = aref.at[:nv].set(-b * vel)
-    floss = floss.at[:nv].set(m.dof_frictionloss)
-    active = active.at[:nv].set(m.dof_frictionloss > 0)
+    f_D = 1.0 / r
+    f_aref = -b * d.qvel
+    f_floss = m.dof_frictionloss
+    f_active = m.dof_frictionloss > 0
+  else:
+    f_D = jnp.zeros(nv, dtype)
+    f_aref = jnp.zeros(nv, dtype)
+    f_floss = jnp.zeros(nv, dtype)
+    f_active = jnp.zeros(nv, bool)
 
   # ---- joint limit rows ----
-  if len(lay.limit_jnt) and not (s.disableflags & DisableBit.LIMIT):
+  if nl and not (s.disableflags & DisableBit.LIMIT):
     jids = lay.limit_jnt
     qadr = s.jnt_qposadr[jids]
     dadr = s.jnt_dofadr[jids]
-    rows = lay.limit_base + np.arange(len(jids))
     q = d.qpos[qadr]
     lo, hi = m.jnt_range[jids, 0], m.jnt_range[jids, 1]
     dist_lo = q - lo
     dist_hi = hi - q
     use_lo = dist_lo <= dist_hi
     dist = jnp.where(use_lo, dist_lo, dist_hi)
-    sign = jnp.where(use_lo, 1.0, -1.0)
+    l_sign = jnp.where(use_lo, 1.0, -1.0).astype(dtype)
     margin = m.jnt_margin[jids]
     p = dist - margin
-    act = p < 0
     b, k, imp = _kbi(m.jnt_solref[jids], m.jnt_solimp[jids], p, ts, refsafe)
-    vel = sign * d.qvel[dadr]
+    vel = l_sign * d.qvel[dadr]
     r = jnp.maximum((1.0 - imp) / imp * m.dof_invweight0[dadr], _MINVAL)
-    J = J.at[rows, dadr].set(sign)
-    pos = pos.at[rows].set(p)
-    D = D.at[rows].set(1.0 / r)
-    aref = aref.at[rows].set(-b * vel - k * imp * p)
-    active = active.at[rows].set(act)
-    oneside = oneside.at[rows].set(True)
+    l_D = 1.0 / r
+    l_aref = -b * vel - k * imp * p
+    l_active = p < 0
+    l_pos = p
+  else:
+    l_sign = jnp.zeros(max(nl, 1), dtype)
+    l_D = jnp.zeros(max(nl, 1), dtype)
+    l_aref = jnp.zeros(max(nl, 1), dtype)
+    l_active = jnp.zeros(max(nl, 1), bool)
+    l_pos = jnp.zeros(max(nl, 1), dtype)
 
-  # ---- contact rows (pyramidal) ----
+  # ---- contact rows (pyramidal), dense block ----
+  nce = max(ncr, 1)
+  c_J = jnp.zeros((nce, nv), dtype)
+  c_D = jnp.zeros(nce, dtype)
+  c_aref = jnp.zeros(nce, dtype)
+  c_active = jnp.zeros(nce, bool)
+  c_pos = jnp.zeros(nce, dtype)
+  con_row0 = lay.nf + nl  # global row index of first contact row
   if s.pairs.ncon_max and not (s.disableflags & DisableBit.CONTACT):
     con = d.contact
     ncon = s.pairs.ncon_max
@@ -210,18 +237,19 @@ def make_efc(m: Model, d: Data):
         continue
       nsl = len(sl)
       if dim == 1:
-        rows = lay.con_base[sl]
+        rows = lay.con_base[sl] - con_row0
         r = jnp.maximum((1.0 - imp[sl]) / imp[sl] * invw[sl], _MINVAL)
-        J = J.at[rows].set(jt_f[sl, 0])
-        pos = pos.at[rows].set(p[sl])
-        D = D.at[rows].set(1.0 / r)
-        aref = aref.at[rows].set(-b[sl] * vel_t[sl, 0] - k[sl] * imp[sl] * p[sl])
-        active = active.at[rows].set(act[sl])
-        oneside = oneside.at[rows].set(True)
+        c_J = c_J.at[rows].set(jt_f[sl, 0])
+        c_pos = c_pos.at[rows].set(p[sl])
+        c_D = c_D.at[rows].set(1.0 / r)
+        c_aref = c_aref.at[rows].set(
+            -b[sl] * vel_t[sl, 0] - k[sl] * imp[sl] * p[sl])
+        c_active = c_active.at[rows].set(act[sl])
         continue
       # pyramidal rows: for friction dim i, rows (Jn + mu_i T_i, Jn - mu_i T_i)
       k_rows = 2 * (dim - 1)
-      rows = (lay.con_base[sl][:, None] + np.arange(k_rows)[None, :]).ravel()
+      rows = (lay.con_base[sl][:, None] - con_row0
+              + np.arange(k_rows)[None, :]).ravel()
       axes = jnp.concatenate(
           [jt_f[sl, 1:min(dim, 3)], jr_f[sl, :max(dim - 3, 0)]], 1)  # (nsl, dim-1, nv)
       vels = jnp.concatenate(
@@ -238,16 +266,56 @@ def make_efc(m: Model, d: Data):
       D_rows = jnp.repeat((1.0 / r)[:, :, None], 2, axis=2).reshape(nsl * k_rows)
       aref_rows = (-b[sl][:, None, None] * vrows
                    - (k[sl] * imp[sl] * p[sl])[:, None, None]).reshape(nsl * k_rows)
-      J = J.at[rows].set(Jrows.reshape(nsl * k_rows, nv))
-      pos = pos.at[rows].set(jnp.repeat(p[sl], k_rows))
-      D = D.at[rows].set(D_rows)
-      aref = aref.at[rows].set(aref_rows)
-      active = active.at[rows].set(jnp.repeat(act[sl], k_rows))
-      oneside = oneside.at[rows].set(True)
+      c_J = c_J.at[rows].set(Jrows.reshape(nsl * k_rows, nv))
+      c_pos = c_pos.at[rows].set(jnp.repeat(p[sl], k_rows))
+      c_D = c_D.at[rows].set(D_rows)
+      c_aref = c_aref.at[rows].set(aref_rows)
+      c_active = c_active.at[rows].set(jnp.repeat(act[sl], k_rows))
 
   if s.disableflags & DisableBit.CONSTRAINT:
-    active = jnp.zeros_like(active)
+    f_active = jnp.zeros_like(f_active)
+    l_active = jnp.zeros_like(l_active)
+    c_active = jnp.zeros_like(c_active)
 
-  D = jnp.where(active, D, 0.0)
-  return dict(J=J, pos=pos, D=D, aref=aref, frictionloss=floss,
-              active=active, oneside=oneside)
+  f_D = jnp.where(f_active, f_D, 0.0)
+  l_D = jnp.where(l_active, l_D, 0.0)
+  c_D = jnp.where(c_active, c_D, 0.0)
+  return dict(
+      f_D=f_D, f_aref=f_aref, f_floss=f_floss, f_active=f_active,
+      l_sign=l_sign, l_D=l_D, l_aref=l_aref, l_active=l_active, l_pos=l_pos,
+      c_J=c_J, c_D=c_D, c_aref=c_aref, c_active=c_active, c_pos=c_pos)
+
+
+def limit_dofadr(stat: ModelStatic) -> np.ndarray:
+  """Static dof address of each limit row (at least length 1)."""
+  lay = efc_layout(stat)
+  if lay.nl == 0:
+    return np.zeros(1, np.int32)
+  return stat.jnt_dofadr[lay.limit_jnt].astype(np.int32)
+
+
+def densify_efc(stat: ModelStatic, efc: dict) -> dict:
+  """Flat (nefc, ...) views in [friction | limit | contact] row order —
+  for tests/debugging parity with MuJoCo's efc_* arrays."""
+  lay = efc_layout(stat)
+  nv, nl, ncr = lay.nf, lay.nl, lay.ncr
+  ldof = limit_dofadr(stat)
+  dtype = efc['c_J'].dtype
+  J = jnp.zeros((lay.nefc, nv), dtype)
+  J = J.at[jnp.arange(nv), jnp.arange(nv)].set(1.0)
+  if nl:
+    J = J.at[nv + jnp.arange(nl), ldof].set(efc['l_sign'])
+  if ncr:
+    J = J.at[nv + nl:].set(efc['c_J'][:ncr])
+  cat = lambda f, l, c: jnp.concatenate(
+      [f, l[:nl], c[:ncr]] if ncr else [f, l[:nl]], axis=0)
+  z = jnp.zeros(max(nl, 1), dtype)
+  return dict(
+      J=J,
+      D=cat(efc['f_D'], efc['l_D'], efc['c_D']),
+      aref=cat(efc['f_aref'], efc['l_aref'], efc['c_aref']),
+      frictionloss=cat(efc['f_floss'], z, jnp.zeros_like(efc['c_D'])),
+      active=cat(efc['f_active'], efc['l_active'], efc['c_active']),
+      oneside=cat(jnp.zeros(nv, bool), jnp.ones(max(nl, 1), bool),
+                  jnp.ones_like(efc['c_active'])),
+      pos=cat(jnp.zeros(nv, dtype), efc['l_pos'], efc['c_pos']))
