@@ -234,6 +234,10 @@ class ManagerBasedRlEnv:
       extras[f'Episode_Termination/{name}'] = jnp.sum(
           (flag & mask).astype(jnp.float32))
     extras['reset_count'] = cnt
+    # true episode length at reset (the learner's own per-rollout counter
+    # can't see episodes longer than one rollout window)
+    extras['episode_length_sum'] = jnp.sum(
+        jnp.where(mask, state.episode_length, 0).astype(jnp.float32))
 
     reward_sums = jnp.where(mask[:, None], 0.0, state.reward_sums)
     episode_length = jnp.where(mask, 0, state.episode_length)

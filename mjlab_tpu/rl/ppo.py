@@ -298,7 +298,6 @@ class PPO:
     nresets = jnp.maximum(stats['nresets'], 1.0)
     logs['mean_reward'] = jnp.mean(traj.reward) / self.env.step_dt
     logs['mean_episode_reward'] = stats['ep_rew'] / nresets
-    logs['mean_episode_length'] = stats['ep_len'] / nresets
     logs['resets'] = stats['nresets']
     logs['lr'] = lr
     logs['std'] = jnp.mean(self.net.apply(params, method=ActorCritic.std))
@@ -306,12 +305,19 @@ class PPO:
     w = jnp.maximum(extras['reset_count'], 0.0)
     wsum = jnp.maximum(jnp.sum(w), 1.0)
     for k, v in extras.items():
-      if k == 'reset_count':
+      if k in ('reset_count', 'episode_length_sum'):
         continue
       if k.startswith('Episode_Termination'):
         logs[k] = jnp.sum(v)
       else:
         logs[k] = jnp.sum(v * w) / wsum
+    # true episode length from the env (the rollout-local counter would
+    # cap at num_steps_per_env)
+    if 'episode_length_sum' in extras:
+      logs['mean_episode_length'] = jnp.sum(
+          extras['episode_length_sum']) / wsum
+    else:
+      logs['mean_episode_length'] = stats['ep_len'] / nresets
 
     ts = ts.replace(params=params, opt_state=opt_state, lr=lr,
                     env_state=env_state, obs=last_obs, rng=rng,

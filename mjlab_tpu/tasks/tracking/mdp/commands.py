@@ -80,6 +80,15 @@ class MotionCommand(CommandTerm):
     # all robot bodies) -> select tracked subset
     self.motion = MotionLoader(cfg.motion_file, self.body_indexes)
     self.n_bodies = len(names)
+    # static adaptive-sampling constants (must NOT be created inside
+    # init_state: it runs under the env's jitted bootstrap, and jnp
+    # constants made there are tracers that would leak via self)
+    T = self.motion.time_step_total
+    self.n_bins = int(T // 50) + 1  # ~1 bin/s at 50 Hz control
+    lam = cfg.adaptive_lambda
+    k = cfg.adaptive_kernel_size
+    kern = np.asarray([lam ** i for i in range(k)], np.float32)
+    self.kernel = kern / kern.sum()
 
   @property
   def dim(self):
@@ -88,13 +97,6 @@ class MotionCommand(CommandTerm):
   # ------------------------------------------------------------------
   def init_state(self, key):
     n = self.num_envs
-    T = self.motion.time_step_total
-    # bins: ~1 per second at 50 Hz control (reference: T // (1/step_dt) + 1)
-    self.n_bins = int(T // 50) + 1
-    lam = self.cfg.adaptive_lambda
-    k = self.cfg.adaptive_kernel_size
-    kern = np.asarray([lam ** i for i in range(k)], np.float32)
-    self.kernel = jnp.asarray(kern / kern.sum())
     st = {
         'time_steps': jnp.zeros(n, jnp.int32),
         'time_left': jnp.full((n,), 1e9, jnp.float32),
