@@ -8,22 +8,30 @@ import jax.numpy as jnp
 
 
 def commands_vel(ctx, state, mask, command_name: str = 'twist',
-                 velocity_stages: list = ()):
-  """Staged command-range widening by global step
-  (reference curriculums.py:60-74). State: () float32 current stage index.
-  The widened range is applied as a scale on the sampled command inside the
-  command term via the 'range_scale' state entry."""
+                 velocity_stages: list = (),
+                 base_range: tuple = (-1.0, 1.0)):
+  """Staged widening of the commanded x-velocity range by global step
+  (reference curriculums.py:60-74, which mutates the command cfg on the
+  host; here the current range is curriculum STATE that
+  UniformVelocityCommand reads at resample time inside the jitted step).
+
+  State: {'range_lin_vel_x': (2,)}. Metric: current range magnitude."""
   del mask
-  if state is None:
-    state = jnp.zeros(())
-  stage = state
-  for i, s in enumerate(velocity_stages):
-    stage = jnp.where(ctx.state.common_step >= s['step'],
-                      jnp.asarray(float(i + 1)), stage)
-  return stage, stage
+  rng = state['range_lin_vel_x'] if state is not None else \
+      jnp.asarray(base_range, jnp.float32)
+  rng = jnp.asarray(base_range, jnp.float32)
+  for s in velocity_stages:
+    rng = jnp.where(ctx.state.common_step >= s['step'],
+                    jnp.asarray(s['range'], jnp.float32), rng)
+  return {'range_lin_vel_x': rng}, jnp.max(jnp.abs(rng))
 
 
-commands_vel.init_state = lambda **kw: jnp.zeros(())
+def _commands_vel_init(base_range=(-1.0, 1.0), **kw):
+  del kw
+  return {'range_lin_vel_x': jnp.asarray(base_range, jnp.float32)}
+
+
+commands_vel.init_state = _commands_vel_init
 
 
 def terrain_levels_vel(ctx, state, mask, command_name: str = 'twist',

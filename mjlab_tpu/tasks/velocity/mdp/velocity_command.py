@@ -60,10 +60,17 @@ class UniformVelocityCommand(CommandTerm):
     n = self.num_envs
     cfg: UniformVelocityCommandCfg = self.cfg
     r = cfg.ranges
+    # the commands_vel curriculum (if present) carries the CURRENT
+    # x-velocity range in its state (staged widening by global step)
+    rx_lo, rx_hi = r.lin_vel_x
+    curriculum = getattr(ctx.state, 'curriculum', None) or {}
+    for cst in curriculum.values():
+      if isinstance(cst, dict) and 'range_lin_vel_x' in cst:
+        rx = cst['range_lin_vel_x']
+        rx_lo, rx_hi = rx[0], rx[1]
     k = jax.random.split(key, 6)
     cmd = jnp.stack([
-        jax.random.uniform(k[0], (n,), minval=r.lin_vel_x[0],
-                           maxval=r.lin_vel_x[1]),
+        jax.random.uniform(k[0], (n,), minval=rx_lo, maxval=rx_hi),
         jax.random.uniform(k[1], (n,), minval=r.lin_vel_y[0],
                            maxval=r.lin_vel_y[1]),
         jax.random.uniform(k[2], (n,), minval=r.ang_vel_z[0],

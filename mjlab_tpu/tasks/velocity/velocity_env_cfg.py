@@ -148,7 +148,7 @@ class TerminationCfg:
 class CurriculumCfg:
   command_vel: CurrTerm = term(
       CurrTerm, func=mdp.commands_vel,
-      params={'command_name': 'twist',
+      params={'command_name': 'twist', 'base_range': (-1.0, 1.0),
               'velocity_stages': [{'step': 500 * 24, 'range': (-3.0, 3.0)}]})
   # enabled by the rough-terrain variant (reference
   # velocity_env_cfg.py:226-241 terrain_levels_vel)
