@@ -414,7 +414,6 @@ def make_data(model: Model, dtype=jnp.float32) -> Data:
       cdof_dot=z(s.nv, 6),
       cvel=z(s.nbody, 6),
       qM=z(s.nv, s.nv),
-      qLD=z(s.nv, s.nv),
       qfrc_bias=z(s.nv),
       qfrc_passive=z(s.nv),
       qfrc_spring=z(s.nv),

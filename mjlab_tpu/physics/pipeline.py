@@ -25,6 +25,7 @@ from mjlab_tpu.physics import kinematics as _kinematics
 from mjlab_tpu.physics import math as pmath
 from mjlab_tpu.physics import sensor as _sensor
 from mjlab_tpu.physics import smooth as _smooth
+from mjlab_tpu.ops.pd_solve import solve_pd as _ops_solve_pd
 from mjlab_tpu.physics import solver as _solver
 from mjlab_tpu.physics.types import (
     Data,
@@ -147,7 +148,7 @@ def _euler(m: Model, d: Data) -> Data:
     # implicit damping: (M + dt*diag(B)) a = qfrc_smooth + qfrc_constraint
     MhB = d.qM + dt * jnp.diag(m.dof_damping)
     rhs = d.qfrc_smooth + d.qfrc_constraint
-    qacc = linalg.solve_pd(MhB, rhs)
+    qacc = _ops_solve_pd(MhB, rhs)
     # match MuJoCo: only use the implicit solution when damping exists;
     # with zero damping the two coincide, so no branch is needed.
   qvel = d.qvel + dt * qacc
@@ -161,7 +162,7 @@ def _implicitfast(m: Model, d: Data) -> Data:
   A = d.qM + dt * jnp.diag(deriv)
   rhs = d.qfrc_smooth + d.qfrc_constraint
   # A is SPD for PD actuators (positive damping derivative)
-  qacc = linalg.solve_pd(A, rhs)
+  qacc = _ops_solve_pd(A, rhs)
   qvel = d.qvel + dt * qacc
   qpos = _integrate_pos(m, d.qpos, qvel, dt)
   return d.replace(qpos=qpos, qvel=qvel, time=d.time + dt)

@@ -50,13 +50,14 @@ def crb(m: Model, d: Data) -> Data:
   L = raw * mask * tril
   qM = L + L.T - jnp.diag(jnp.diag(L))
   qM = qM + jnp.diag(m.dof_armature)
-  qLD = linalg.cholesky(qM)
-  return d.replace(qM=qM, qLD=qLD)
+  return d.replace(qM=qM)
 
 
 def solve_m(d: Data, rhs: jax.Array) -> jax.Array:
-  """Solve M x = rhs using the cached Cholesky factor."""
-  return linalg.cho_solve(d.qLD, rhs)
+  """Solve M x = rhs (fused Pallas kernel when vmapped on TPU; caching a
+  Cholesky factor buys nothing when the whole solve is one fused op)."""
+  from mjlab_tpu.ops.pd_solve import solve_pd
+  return solve_pd(d.qM, rhs)
 
 
 def rne(m: Model, d: Data) -> Data:

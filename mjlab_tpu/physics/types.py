@@ -354,7 +354,6 @@ class Data:
 
   # dynamics
   qM: jax.Array  # (nv, nv) dense
-  qLD: jax.Array  # cholesky factor of qM (lower)
   qfrc_bias: jax.Array
   qfrc_passive: jax.Array
   qfrc_spring: jax.Array
