@@ -75,6 +75,8 @@ def main(argv=None):
         agent_cfg.load_run, agent_cfg.load_checkpoint)
     print(f'[resume] loading {ckpt}')
     runner.load(ckpt)
+  from mjlab_tpu.utils.tables import env_summary
+  print(env_summary(env))
   print(f'[train] task={args.task} envs={env.num_envs} '
         f'action_dim={env.action_dim} obs={env.observation_dims} '
         f'log_dir={log_dir}')
