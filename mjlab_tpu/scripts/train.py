@@ -24,6 +24,9 @@ def main(argv=None):
   parser.add_argument('--enable-nan-guard', action='store_true',
                       help='dump replayable state snapshots when physics '
                            'goes non-finite (reference train.py:56-58)')
+  parser.add_argument('--shard', action='store_true',
+                      help='shard the env axis over all visible devices '
+                           '(jax.sharding Mesh; multi-chip/multi-host)')
   args, overrides = parser.parse_known_args(argv)
 
   from mjlab_tpu.tasks import registry
@@ -69,6 +72,16 @@ def main(argv=None):
     step_fn = NanGuard(
         env, out_dir=os.path.join(log_dir, 'nan_dumps')).wrap(env.step_fn)
   runner = make_runner(env, agent_cfg, log_dir=log_dir, step_fn=step_fn)
+  if args.shard:
+    import jax
+    from mjlab_tpu.parallel.sharding import (
+        assert_divisible, make_mesh, shard_batched)
+    mesh = make_mesh()
+    assert_divisible(env.num_envs, mesh)
+    print(f'[train] sharding {env.num_envs} envs over '
+          f'{mesh.shape["env"]} devices')
+    runner.ts = shard_batched(runner.ts, mesh, env.num_envs)
+    jax.set_mesh(mesh).__enter__()  # leave active for the whole run
   if args.resume or agent_cfg.resume:
     ckpt = get_checkpoint_path(
         os.path.join(args.log_root, agent_cfg.experiment_name),
