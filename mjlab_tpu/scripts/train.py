@@ -89,10 +89,10 @@ def main(argv=None):
     print(f'[resume] loading {ckpt}')
     runner.load(ckpt)
   from mjlab_tpu.utils.tables import env_summary
-  print(env_summary(env))
+  print(env_summary(env), flush=True)
   print(f'[train] task={args.task} envs={env.num_envs} '
         f'action_dim={env.action_dim} obs={env.observation_dims} '
-        f'log_dir={log_dir}')
+        f'log_dir={log_dir}', flush=True)
   runner.learn(agent_cfg.max_iterations)
 
 
