@@ -74,7 +74,7 @@ class ManagerBasedRlEnv:
     # --- build scene + model ---
     self.scene = Scene(cfg.scene)
     cfg.sim.mujoco.edit_spec(self.scene.spec)
-    base_model = self.scene.initialize()
+    base_model = self.scene.initialize(ncon_cap=cfg.sim.nconmax)
     self.physics_dt = cfg.sim.mujoco.timestep
     self.step_dt = cfg.decimation * self.physics_dt
     self.max_episode_length = int(

@@ -58,6 +58,18 @@ def efc_layout(stat: ModelStatic) -> EfcLayout:
       stat.jnt_limited &
       np.isin(stat.jnt_type, (int(JointType.HINGE), int(JointType.SLIDE))))[0]
   limit_base = nf
+  if stat.ncon_cap:
+    # compacted layout: ncon_cap selected slots, uniform row structure
+    # (2 rows per friction axis of the model's max condim)
+    k_rows = 2 * max(int(stat.con_dim.max()) - 1, 1)
+    n_rows = stat.ncon_cap * k_rows
+    con_base = (limit_base + len(limit_jnt)
+                + k_rows * np.arange(stat.ncon_cap, dtype=np.int32))
+    return EfcLayout(
+        nefc=limit_base + len(limit_jnt) + n_rows, nf=nf,
+        limit_jnt=limit_jnt, limit_base=limit_base,
+        con_base=con_base,
+        con_rows=np.full(stat.ncon_cap, k_rows, np.int32))
   ncon = max(stat.pairs.ncon_max, 1)
   # recover static per-slot condim (same logic as io.make_data)
   con_rows = np.zeros(ncon, np.int32)
@@ -119,6 +131,99 @@ def _kbi(solref: jax.Array, solimp: jax.Array, pos: jax.Array,
   b = jnp.where(direct, -solref[..., 1] / dmax, b_std)
   k = jnp.where(direct, -solref[..., 0] / (dmax * dmax), k_std)
   return b, k, imp
+
+
+def _contacts_compacted(m: Model, d: Data, ts, refsafe, dtype):
+  """Contact constraint block from the ncon_cap DEEPEST candidate slots
+  (runtime top-K over penetration — the TPU analog of mjwarp's dynamic
+  contact pool, reference sim.py:87-88 nconmax). All selected slots share
+  a uniform pyramidal row structure of the model's max condim; slots with
+  smaller true condim mask their extra friction axes (a condim-1 slot
+  becomes a +/- pair of normal rows with D split so forces/costs match
+  the single-row formulation exactly)."""
+  s = m.stat
+  lay = efc_layout(s)
+  con = d.contact
+  K = s.ncon_cap
+  A = max(int(s.con_dim.max()) - 1, 1)  # friction axes in the row layout
+  anc = jnp.asarray(s.ancestor_mask, dtype)
+
+  # ---- select the K deepest candidates ----
+  p_all = con.dist - con.includemargin
+  _, idx = jax.lax.top_k(-p_all, K)
+  p = p_all[idx]
+  act = p < 0
+  pos_w = con.pos[idx]
+  frame = con.frame[idx]
+  friction = con.friction[idx]
+  g1 = jnp.asarray(s.con_geom1)[idx]
+  g2 = jnp.asarray(s.con_geom2)[idx]
+  dim = jnp.asarray(s.con_dim)[idx]
+  body_of_geom = jnp.asarray(s.geom_bodyid)
+  rootid = jnp.asarray(s.body_rootid)
+  b1 = body_of_geom[g1]
+  b2 = body_of_geom[g2]
+
+  # ---- jacobians for the selected slots only ----
+  cdof_ang = d.cdof[:, :3]
+  cdof_lin = d.cdof[:, 3:]
+  croot1 = d.subtree_com[rootid[b1]]
+  croot2 = d.subtree_com[rootid[b2]]
+
+  def point_jac(pt, croot, body):
+    rel = pt[:, None, :] - croot[:, None, :]
+    col = cdof_lin[None] + jnp.cross(cdof_ang[None], rel)
+    return col * anc[body][:, :, None]
+
+  jt = point_jac(pos_w, croot2, b2) - point_jac(pos_w, croot1, b1)
+  jr = (cdof_ang[None] * anc[b2][:, :, None]
+        - cdof_ang[None] * anc[b1][:, :, None])
+  jt_f = jnp.einsum('cfx,cvx->cfv', frame, jt)  # (K, 3, nv)
+  jr_f = jnp.einsum('cfx,cvx->cfv', frame, jr)
+
+  b_c, k_c, imp = _kbi(con.solref[idx], con.solimp[idx], p, ts, refsafe)
+  invw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+  vel_t = jt_f @ d.qvel  # (K, 3)
+  vel_r = jr_f @ d.qvel
+
+  # friction axes 0..A-1 map to (tangent1, tangent2, torsion, roll1, roll2)
+  axes = jnp.concatenate([jt_f[:, 1:3], jr_f], axis=1)[:, :A]  # (K, A, nv)
+  vels = jnp.concatenate([vel_t[:, 1:3], vel_r], axis=1)[:, :A]
+  mu = friction[:, :A]  # (K, A) combined coefficients per axis
+
+  ax_ids = jnp.arange(A)
+  real_axis = ax_ids[None, :] < (dim[:, None] - 1)  # (K, A)
+  # condim-1 slots: axis 0 becomes a frictionless normal pair
+  normal_pair = (dim[:, None] == 1) & (ax_ids[None, :] == 0)
+  row_active = (real_axis | normal_pair) & act[:, None]
+  mu = jnp.where(real_axis, mu, 0.0)
+
+  # impedance denominators: pyramid dA for real axes, plain normal for the
+  # frictionless pair (with a 1/2 split across the +/- duplicate rows)
+  dA_pyr = invw[:, None] * (1.0 + mu * mu) * 2.0 * mu * mu \
+      / m.opt.impratio.astype(dtype)
+  dA = jnp.where(real_axis, dA_pyr, invw[:, None])
+  r = jnp.maximum((1.0 - imp[:, None]) / imp[:, None] * dA, _MINVAL)
+  D_axis = jnp.where(normal_pair, 0.5 / r, 1.0 / r)  # (K, A)
+
+  signs = jnp.asarray([1.0, -1.0], dtype)
+  # rows: (K, A, 2, nv) -> (K*A*2, nv), ordered (axis, +/-) per slot
+  Jrows = (jt_f[:, 0][:, None, None, :]
+           + signs[None, None, :, None] * (mu[..., None] * axes)[:, :, None, :])
+  vrows = (vel_t[:, 0][:, None, None]
+           + signs[None, None, :] * (mu * vels)[:, :, None])
+  aref_rows = (-b_c[:, None, None] * vrows
+               - (k_c * imp * p)[:, None, None])
+
+  n_rows = K * A * 2
+  c_J = Jrows.reshape(n_rows, s.nv)
+  c_D = jnp.broadcast_to(D_axis[:, :, None], (K, A, 2)).reshape(n_rows)
+  c_aref = aref_rows.reshape(n_rows)
+  c_active = jnp.broadcast_to(row_active[:, :, None],
+                              (K, A, 2)).reshape(n_rows)
+  c_pos = jnp.broadcast_to(p[:, None, None], (K, A, 2)).reshape(n_rows)
+  assert n_rows == lay.ncr, (n_rows, lay.ncr)
+  return c_J, c_D, c_aref, c_active, c_pos
 
 
 def make_efc(m: Model, d: Data):
@@ -196,7 +301,10 @@ def make_efc(m: Model, d: Data):
   c_active = jnp.zeros(nce, bool)
   c_pos = jnp.zeros(nce, dtype)
   con_row0 = lay.nf + nl  # global row index of first contact row
-  if s.pairs.ncon_max and not (s.disableflags & DisableBit.CONTACT):
+  if s.ncon_cap and not (s.disableflags & DisableBit.CONTACT):
+    c_J, c_D, c_aref, c_active, c_pos = _contacts_compacted(
+        m, d, ts, refsafe, dtype)
+  elif s.pairs.ncon_max and not (s.disableflags & DisableBit.CONTACT):
     con = d.contact
     ncon = s.pairs.ncon_max
     anc = jnp.asarray(s.ancestor_mask, dtype)

@@ -178,8 +178,17 @@ def _names(m: mujoco.MjModel, obj: mujoco.mjtObj, n: int) -> tuple:
       mujoco.mj_id2name(m, obj, i) or f'#{i}' for i in range(n))
 
 
-def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
-  """Convert a compiled mujoco.MjModel to the engine Model pytree."""
+_AUTO_NCON_CAP = 64
+
+
+def put_model(m: mujoco.MjModel, dtype=jnp.float32,
+              ncon_cap: 'int | None' = None) -> Model:
+  """Convert a compiled mujoco.MjModel to the engine Model pytree.
+
+  ncon_cap: per-env active-contact capacity for constraint assembly
+  (runtime top-K compaction over the static pair table). None = auto:
+  no compaction for small pair tables, 64 when the table is larger
+  (self-collision models). 0 forces no compaction."""
   if m.neq:
     raise NotImplementedError('equality constraints not yet supported')
   if m.ntendon:
@@ -205,6 +214,11 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
     raise NotImplementedError('at most one heightfield supported')
 
   pairs = _build_pairs(m)
+  if ncon_cap is None:
+    ncon_cap = _AUTO_NCON_CAP if pairs.ncon_max > _AUTO_NCON_CAP else 0
+  ncon_cap = min(int(ncon_cap), pairs.ncon_max)
+  if ncon_cap == pairs.ncon_max:
+    ncon_cap = 0  # selecting everything = no compaction
 
   if m.nhfield == 1:
     hf_nrow, hf_ncol = int(m.hfield_nrow[0]), int(m.hfield_ncol[0])
@@ -287,6 +301,7 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
       hfield_ncol=hf_ncol,
       hfield_size=hf_size,
       hfield_geomid=hf_geomid,
+      ncon_cap=ncon_cap,
   )
 
   # Convert on the host and ship the whole pytree with ONE device_put at
@@ -353,10 +368,12 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
 
 def nefc_max(stat: ModelStatic) -> int:
   """Static constraint row capacity: friction + limits + contact rows."""
-  nfric = 0  # filled dynamically by mask; rows exist for every dof
   nfric = int(stat.nv)
   nlimit = int(stat.jnt_limited.sum())
-  _, _, dim = None, None, None
+  if stat.ncon_cap:
+    # compacted: uniform rows over the selected slots
+    k_rows = 2 * max(int(stat.con_dim.max()) - 1, 1)
+    return nfric + nlimit + stat.ncon_cap * k_rows
   ncontact_rows = 0
   for _, (g1s, g2s, base, npts) in stat.pairs.groups.items():
     del base

@@ -196,9 +196,11 @@ def _newton_fn(iterations: int, ldof: tuple):
         a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
         for a, b in zip(args, in_batched))
     M = args[0]
+    cJ = args[3]
     if (M.ndim == 3 and jax.default_backend() == 'tpu'
         and M.dtype == jnp.float32 and _MEGA_KERNEL
-        and M.shape[0] >= 256):
+        and M.shape[0] >= 256
+        and _kernel_vmem_bytes(M.shape[-1], cJ.shape[1]) < 11 * 2 ** 20):
       from mjlab_tpu.ops.newton import newton_solve_tpu
       out = newton_solve_tpu(*args, iterations=iterations, ldof=ldof)
     else:
@@ -207,6 +209,15 @@ def _newton_fn(iterations: int, ldof: tuple):
     return out, (True, True, True, True)
 
   return fn
+
+
+def _kernel_vmem_bytes(n: int, ncr: int, block_b: int = 128) -> int:
+  """Rough VMEM footprint of one ops/newton.py block: M + cJ (+ its
+  double buffer) + 2 (n,n) scratch + one (ncr,n,BB) transient. Models
+  with huge self-collision row counts (e.g. G1 tracking, ncr ~ 2400)
+  cannot fit and must take the XLA path."""
+  f = 4 * block_b
+  return (3 * n * n + 3 * ncr * n + 12 * ncr + 8 * n) * f
 
 
 def solve(m: Model, d: Data, efc) -> Data:

@@ -237,6 +237,13 @@ class ModelStatic(StaticBase):
   hfield_size: np.ndarray = None  # (4,) radius_x, radius_y, elev_z, base_z
   hfield_geomid: int = -1
 
+  # contact compaction: when > 0, only the ncon_cap deepest candidate
+  # contacts feed the constraint solver each step (runtime top-K over the
+  # static pair table) — the TPU analog of mjwarp's dynamic nconmax
+  # (reference src/mjlab/sim/sim.py:87-88). 0 = all slots build rows
+  # (fine for small pair tables; self-collision models need compaction).
+  ncon_cap: int = 0
+
 
 @struct.dataclass
 class Option:

@@ -78,10 +78,14 @@ class Scene:
       self._mj_model = self.spec.compile()
     return self._mj_model
 
-  def initialize(self) -> Model:
-    """Compile and build the engine Model + entity views."""
+  def initialize(self, ncon_cap: 'int | None' = None) -> Model:
+    """Compile and build the engine Model + entity views.
+
+    ncon_cap: per-env active-contact capacity (see physics.io.put_model);
+    wired from SimulationCfg.nconmax by the env layer."""
     mj = self.compile()
-    self._model = phys_io.put_model(mj, dtype=self._dtype)
+    self._model = phys_io.put_model(mj, dtype=self._dtype,
+                                    ncon_cap=ncon_cap)
     for name, ent in self.entities.items():
       self._views[name] = EntityView(ent, self._model, mj, f'{name}/',
                                      dtype=self._dtype)

@@ -53,8 +53,13 @@ class MujocoCfg:
 
 @dataclasses.dataclass
 class SimulationCfg:
-  """nconmax/njmax have no TPU analog (contact capacity is static from the
-  pair table); kept for config-surface parity and ignored."""
+  """nconmax here is the PER-ENV active-contact capacity: when the static
+  pair table is larger, a runtime top-K over candidate penetrations picks
+  which contacts build constraint rows (physics/constraint.py) — the TPU
+  analog of the reference's total nconmax pool (reference sim.py:87-88,
+  140000 over 4096 envs ~ 34/env). None = auto (no compaction for small
+  tables, 64 for large/self-collision models). njmax has no analog
+  (constraint rows are static per contact slot) and is ignored."""
   nconmax: int | None = None
   njmax: int | None = None
   mujoco: MujocoCfg = dataclasses.field(default_factory=MujocoCfg)
