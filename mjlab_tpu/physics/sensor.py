@@ -146,6 +146,25 @@ def contact_force(m: Model, d: Data) -> jax.Array:
   force = jnp.zeros((ncon, 6), dtype)
   if not s.pairs.ncon_max:
     return force
+  if s.ncon_cap:
+    # Compacted mode: efc rows belong to the K deepest candidate slots in a
+    # uniform (A friction axes x +/-) pyramidal layout. Re-derive the same
+    # deterministic top-K selection used by constraint assembly and scatter
+    # the decoded forces back onto candidate-slot indices (which is what
+    # contact sensors address).
+    K = s.ncon_cap
+    A = max(int(s.con_dim.max()) - 1, 1)
+    p_all = d.contact.dist - d.contact.includemargin
+    _, idx = jax.lax.top_k(-p_all, K)
+    rows = d.efc_force[lay.con_base[:, None] + np.arange(2 * A)[None, :]]
+    pairs = rows.reshape(K, A, 2)
+    dim = jnp.asarray(s.con_dim)[idx]
+    real_axis = jnp.arange(A)[None, :] < (dim[:, None] - 1)
+    mu = jnp.where(real_axis, d.contact.friction[idx, :A], 0.0)
+    sel = jnp.zeros((K, 6), dtype)
+    sel = sel.at[:, 0].set(jnp.sum(pairs, axis=(1, 2)))
+    sel = sel.at[:, 1:1 + A].set(mu * (pairs[..., 0] - pairs[..., 1]))
+    return force.at[idx].set(sel)
   nc = s.pairs.ncon_max
   for dim in sorted(set(int(x) for x in s.con_dim[:nc])):
     sl = np.nonzero(s.con_dim[:nc] == dim)[0]

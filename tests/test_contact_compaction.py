@@ -101,3 +101,18 @@ def test_condim1_equivalence():
   d_comp = _rollout(comp, steps=60)
   np.testing.assert_allclose(np.asarray(d_comp.qpos),
                              np.asarray(d_full.qpos), atol=1e-6)
+
+def test_contact_force_sensor_equivalence():
+  """contact_force must decode the compacted efc rows and scatter them back
+  to candidate-slot indices (what contact sensors address)."""
+  from mjlab_tpu.physics import sensor as psensor
+  mj = _many_contact_model()
+  full = pio.put_model(mj, dtype=jnp.float64, ncon_cap=0)
+  comp = pio.put_model(mj, dtype=jnp.float64,
+                       ncon_cap=min(48, full.stat.pairs.ncon_max - 1))
+  d_full = _rollout(full, steps=60)
+  d_comp = _rollout(comp, steps=60)
+  f_full = np.asarray(psensor.contact_force(full, d_full))
+  f_comp = np.asarray(psensor.contact_force(comp, d_comp))
+  assert np.abs(f_full).max() > 1e-3  # something is actually in contact
+  np.testing.assert_allclose(f_comp, f_full, atol=1e-6)
