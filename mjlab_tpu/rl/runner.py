@@ -47,14 +47,19 @@ class OnPolicyRunner:
     steps_per_iter = self.cfg.num_steps_per_env * self.env.num_envs
     last_logs = {}
     t_start = time.time()
+    # throughput is measured across the whole logging window: dispatch is
+    # async, so a single-iteration timer would only see the host-side queue
+    # time on non-log iterations and the full queued compute on log ones.
+    t_win, it_win = time.time(), 0
     for it in range(n_iter):
-      t0 = time.time()
       self.ts, logs = self.alg.learn_iteration(self.ts)
       if it % log_every == 0 or it == n_iter - 1:
         logs = jax.tree.map(lambda x: float(np.asarray(x)), logs)
-        dt = time.time() - t0
+        now = time.time()
+        dt, n_win = now - t_win, it + 1 - it_win
+        t_win, it_win = now, it + 1
         logs['iteration'] = int(np.asarray(self.ts.iteration))
-        logs['env_steps_per_s'] = steps_per_iter / max(dt, 1e-9)
+        logs['env_steps_per_s'] = n_win * steps_per_iter / max(dt, 1e-9)
         logs['total_env_steps'] = logs['iteration'] * steps_per_iter
         logs['wall_s'] = time.time() - t_start
         last_logs = logs
