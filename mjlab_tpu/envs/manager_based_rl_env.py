@@ -270,6 +270,21 @@ class ManagerBasedRlEnv:
 
     data, _ = jax.lax.scan(substep, state.data, None,
                            length=self.cfg.decimation)
+
+    # physics blowup guard: any env whose state went non-finite (f32
+    # contact-force overflow under extreme RSI/self-collision states) is
+    # force-terminated and reset this step; the whole data pytree is
+    # sanitized so downstream reward/obs/normalizer math stays finite
+    # (NaN comparisons are False, so ordinary terminations would MISS
+    # these envs and the NaN would poison the learner). The reference's
+    # NanGuard (reference src/mjlab/utils/nan_guard.py) only dumps state
+    # and halts; a batched TPU trainer must also self-heal — the bad
+    # envs' transitions are discarded via termination + masked reset.
+    fin = lambda a: jnp.all(jnp.isfinite(a), axis=-1)
+    phys_bad = ~(fin(data.qpos) & fin(data.qvel) & fin(data.qacc))
+    data = jax.tree.map(
+        lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0, neginf=0.0)
+        if jnp.issubdtype(a.dtype, jnp.inexact) else a, data)
     state = state.replace(
         data=data,
         episode_length=state.episode_length + 1,
@@ -278,9 +293,11 @@ class ManagerBasedRlEnv:
     # terminations + rewards
     ctx = self._make_ctx(state)
     terminated, truncated, term_info = self.termination_manager.compute(ctx)
+    terminated = terminated | phys_bad
     ctx.terminated = terminated
     reward, sums, _, rew_state = self.reward_manager.compute(
         ctx, state.reward_sums, self.step_dt, state.reward)
+    reward = jnp.where(phys_bad, 0.0, reward)
     state = state.replace(reward_sums=sums, reward=rew_state)
 
     # masked partial reset + forward refresh
@@ -310,6 +327,9 @@ class ManagerBasedRlEnv:
     state = state.replace(obs=obs_state, rng=key)
 
     extras['time_outs'] = truncated
+    # flat extras key: Episode_Termination/* entries are summed over the
+    # rollout by the learner's log aggregation (rl/ppo.py)
+    extras['Episode_Termination/physics_nan'] = jnp.sum(phys_bad)
     return state, (obs, reward, terminated, truncated, extras)
 
   def _reset_fn(self, state: EnvState, key: jax.Array):

@@ -94,3 +94,33 @@ def test_history_mode_records_prior_steps(tmp_path):
   assert blob['qpos'].shape[0] > 1
   assert np.isfinite(blob['qpos'][0]).all()
   assert np.isnan(blob['qpos'][-1]).any()
+
+
+def test_env_step_self_heals_nonfinite_state():
+  """An env whose physics state goes non-finite must be force-terminated,
+  reset, and produce finite obs/reward (the batched-trainer self-heal the
+  reference's dump-only NanGuard lacks)."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from mjlab_tpu.tasks import registry
+
+  cfg = registry.load_cfg('Mjlab-Velocity-Flat-Unitree-Go1')
+  cfg.scene.num_envs = 4
+  env = registry.make('Mjlab-Velocity-Flat-Unitree-Go1', cfg=cfg)
+  state, obs = env.init_state(0)
+  # poison env 1's velocity state
+  qvel = state.data.qvel.at[1, 0].set(jnp.nan)
+  state = state.replace(data=state.data.replace(qvel=qvel))
+  action = jnp.zeros((4, env.action_dim))
+  step = jax.jit(env.step_fn)
+  state, (obs, rew, term, trunc, extras) = step(state, action)
+  assert bool(term[1]), 'poisoned env must be terminated'
+  assert int(extras['Episode_Termination/physics_nan']) >= 1
+  for v in obs.values():
+    assert bool(jnp.isfinite(v).all()), 'obs must be sanitized'
+  assert bool(jnp.isfinite(rew).all()), 'reward must be sanitized'
+  # the reset must leave the env steppable with finite state
+  state, (obs, rew, term, trunc, extras) = step(state, action)
+  assert bool(jnp.isfinite(state.data.qpos).all())
+  assert bool(jnp.isfinite(rew).all())
