@@ -209,6 +209,43 @@ def get_spec() -> mujoco.MjSpec:
     wyw.add_geom(name=f'{side}_hand_collision', type=B,
                  pos=[0.05, 0, 0], size=[0.06, 0.02, 0.035], mass=0.45,
                  rgba=[0.2, 0.2, 0.2, 1])
+
+  # Near-adjacent permanent-overlap excludes: the primitive approximation
+  # makes some 2-3-hop body pairs (e.g. pelvis <-> waist_roll spheres)
+  # permanently interpenetrate. With self-collision enabled (tracking
+  # task) those become constant multi-cm-deep contacts whose forces
+  # destabilize f32 solves. Real G1 MJCFs carry manual <exclude> entries
+  # for such pairs (reference asset_zoo g1.xml); derive ours from the
+  # default pose: any geom pair on bodies <= 3 tree-hops apart that
+  # starts > 2 mm interpenetrated was never a physically meaningful
+  # contact.
+  mtmp = spec.compile()
+  dtmp = mujoco.MjData(mtmp)
+  mujoco.mj_kinematics(mtmp, dtmp)
+  parent = mtmp.body_parentid
+
+  def _chain(b):
+    out = [int(b)]
+    while out[-1]:
+      out.append(int(parent[out[-1]]))
+    return out
+
+  def _treedist(a, b):
+    ca, cb = _chain(a), _chain(b)
+    da = {x: i for i, x in enumerate(ca)}
+    return min(j + da[x] for j, x in enumerate(cb) if x in da)
+
+  seen = set()
+  for g1 in range(mtmp.ngeom):
+    for g2 in range(g1 + 1, mtmp.ngeom):
+      b1, b2 = int(mtmp.geom_bodyid[g1]), int(mtmp.geom_bodyid[g2])
+      if b1 == b2 or (b1, b2) in seen or _treedist(b1, b2) > 3:
+        continue
+      if mujoco.mj_geomDistance(mtmp, dtmp, g1, g2, 0.1, None) < -0.002:
+        seen.add((b1, b2))
+        exc = spec.add_exclude()
+        exc.bodyname1 = mtmp.body(b1).name
+        exc.bodyname2 = mtmp.body(b2).name
   return spec
 
 

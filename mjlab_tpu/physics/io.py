@@ -111,10 +111,16 @@ def _dof_prefix_mask(m: mujoco.MjModel, ancestor: np.ndarray) -> np.ndarray:
 
 def _filter_pair(m: mujoco.MjModel, g1: int, g2: int) -> bool:
   """Static broadphase filter, mirroring MuJoCo's mj_filterPair logic on
-  (contype, conaffinity), same-body and parent-child (weld) exclusion."""
+  (contype, conaffinity), same-body and parent-child (weld) exclusion,
+  plus the model's explicit <exclude> signature list."""
   b1, b2 = m.geom_bodyid[g1], m.geom_bodyid[g2]
   if b1 == b2:
     return False
+  if m.nexclude:
+    sigs = m.exclude_signature
+    if ((int(b1) << 16) + int(b2)) in sigs or \
+       ((int(b2) << 16) + int(b1)) in sigs:
+      return False
   w1, w2 = m.body_weldid[b1], m.body_weldid[b2]
   if w1 == w2:
     return False

@@ -174,6 +174,37 @@ def generate_g1_squat_motion(output_path: str, duration_s: float = 8.0,
   joint[:, ids[0]] = 0.2 - swing
 
   qpos[:, idx.q_adr] = joint
+
+  import mujoco
+
+  # ground-clearance projection: the hand-tuned crouch gains do not keep
+  # the feet on the floor kinematically; frames that dip collision geoms
+  # below z=0 would make RSI resets start deeply penetrated (multi-cm),
+  # which explodes f32 contact forces. Per frame, FK the pose and lift the
+  # root so the lowest collision-geom surface point sits at ~2 mm.
+  d = mujoco.MjData(mj)
+  for fi in range(T):
+    d.qpos[:] = qpos[fi]
+    mujoco.mj_kinematics(mj, d)
+    zmin = np.inf
+    for g in range(mj.ngeom):
+      if mj.geom_contype[g] == 0 and mj.geom_conaffinity[g] == 0:
+        continue
+      xz = d.geom_xpos[g][2]
+      R = d.geom_xmat[g].reshape(3, 3)
+      sz = mj.geom_size[g]
+      typ = mj.geom_type[g]
+      if typ == mujoco.mjtGeom.mjGEOM_SPHERE:
+        z = xz - sz[0]
+      elif typ == mujoco.mjtGeom.mjGEOM_CAPSULE:
+        z = xz - abs(R[2, 2]) * sz[1] - sz[0]
+      elif typ == mujoco.mjtGeom.mjGEOM_BOX:
+        z = xz - float(np.abs(R[2, :]) @ sz)
+      else:
+        z = xz - mj.geom_rbound[g]  # conservative bound
+      zmin = min(zmin, float(z))
+    qpos[fi, idx.free_q_adr[2]] += max(0.0, 0.002 - zmin)
+
   motion = qpos_to_motion(mj, list(idx.body_names), idx.q_adr,
                           idx.free_q_adr, qpos, fps)
   np.savez(output_path, **motion)
