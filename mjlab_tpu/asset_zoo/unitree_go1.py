@@ -1,45 +1,27 @@
-"""Unitree Go1 quadruped, built procedurally from primitives.
+"""Unitree Go1 quadruped — the real robot description.
 
-Unlike the reference (which loads mujoco_menagerie MJCF + STL meshes,
-reference src/mjlab/asset_zoo/robots/unitree_go1/go1_constants.py), this
-model is authored from primitive geoms via MjSpec: capsule limbs, box
-trunk, sphere feet. Kinematic layout, masses, joint ranges and actuator
-parameters follow the public Unitree Go1 specifications; PD gains are
-derived from motor rotor inertia x gear ratio via a 10 Hz natural
-frequency, damping ratio 2 (same first-principles recipe as the
-reference).
+Body tree, link inertials, joint ranges, primitive collision geoms (box
+trunk, capsule limbs, sphere feet) and sites are the real Go1 description
+extracted to data tables (asset_zoo/data/go1_spec_data.py, verified to
+<1e-12 against the compiled reference model — reference
+src/mjlab/asset_zoo/robots/unitree_go1/xmls/go1.xml). Visual meshes are
+omitted: massless and non-colliding in the reference, physics identical.
 
-Joint/geom naming follows the Unitree convention ({FL,FR,RL,RR}_hip_joint,
-..., {P}_foot_collision) so task configs can use the same regexes.
+Actuator parameters (GO-M8010-6 class motor) follow the reference recipe:
+rotor inertia reflected through the gear ratio, PD gains from a 10 Hz
+natural frequency at damping ratio 2 (reference
+src/mjlab/asset_zoo/robots/unitree_go1/go1_constants.py:39-82).
 """
 
 from __future__ import annotations
 
 import mujoco
 
+from mjlab_tpu.asset_zoo.data.go1_spec_data import SPEC_DATA
+from mjlab_tpu.asset_zoo.spec_builder import build_robot_spec
 from mjlab_tpu.entity.entity import EntityCfg, EntityInitStateCfg
 from mjlab_tpu.entity.spec_config import ActuatorCfg, CollisionCfg
 from mjlab_tpu.utils.actuator import ElectricActuator, reflected_inertia
-
-# ---------------------------------------------------------------------------
-# Kinematics / mass parameters (public Go1 specs).
-# ---------------------------------------------------------------------------
-TRUNK_SIZE = (0.1881, 0.04675, 0.057)  # half sizes
-TRUNK_MASS = 5.204
-HIP_OFFSET_X = 0.1881
-HIP_OFFSET_Y = 0.04675
-HIP_MASS = 0.591
-THIGH_OFFSET_Y = 0.08
-THIGH_LENGTH = 0.213
-THIGH_MASS = 0.92
-CALF_LENGTH = 0.213
-CALF_MASS = 0.136
-FOOT_RADIUS = 0.022
-FOOT_MASS = 0.06
-
-HIP_RANGE = (-0.863, 0.863)
-THIGH_RANGE = (-0.686, 4.501)
-CALF_RANGE = (-2.818, -0.888)
 
 # ---------------------------------------------------------------------------
 # Actuators (GO-M8010-6 class motor).
@@ -71,65 +53,19 @@ GO1_KNEE_ACTUATOR_CFG = ActuatorCfg(
 
 
 def get_spec() -> mujoco.MjSpec:
-  spec = mujoco.MjSpec()
-  spec.modelname = 'go1'
-  spec.compiler.degree = False
-
-  trunk = spec.worldbody.add_body(name='trunk', pos=[0, 0, 0.445])
-  trunk.add_joint(name='floating_base_joint',
-                  type=mujoco.mjtJoint.mjJNT_FREE)
-  trunk.add_geom(name='trunk_collision', type=mujoco.mjtGeom.mjGEOM_BOX,
-                 size=list(TRUNK_SIZE), mass=TRUNK_MASS,
-                 rgba=[0.2, 0.2, 0.2, 1])
-  trunk.add_site(name='imu', pos=[0, 0, 0])
-
-  for prefix, sx, sy in (('FL', 1, 1), ('FR', 1, -1),
-                         ('RL', -1, 1), ('RR', -1, -1)):
-    hip = trunk.add_body(
-        name=f'{prefix}_hip', pos=[sx * HIP_OFFSET_X, sy * HIP_OFFSET_Y, 0])
-    hip.add_joint(name=f'{prefix}_hip_joint', axis=[1, 0, 0],
-                  type=mujoco.mjtJoint.mjJNT_HINGE, range=list(HIP_RANGE))
-    hip.add_geom(name=f'{prefix}_hip_collision',
-                 type=mujoco.mjtGeom.mjGEOM_CYLINDER,
-                 size=[0.046, 0.02, 0], mass=HIP_MASS,
-                 quat=[0.7071068, 0, 0.7071068, 0],
-                 rgba=[0.3, 0.3, 0.3, 1])
-
-    thigh = hip.add_body(name=f'{prefix}_thigh',
-                         pos=[0, sy * THIGH_OFFSET_Y, 0])
-    thigh.add_joint(name=f'{prefix}_thigh_joint', axis=[0, 1, 0],
-                    type=mujoco.mjtJoint.mjJNT_HINGE,
-                    range=list(THIGH_RANGE))
-    thigh.add_geom(name=f'{prefix}_thigh_collision',
-                   type=mujoco.mjtGeom.mjGEOM_CAPSULE,
-                   fromto=[0, 0, 0, 0, 0, -THIGH_LENGTH],
-                   size=[0.0245, 0, 0], mass=THIGH_MASS,
-                   rgba=[0.35, 0.35, 0.35, 1])
-
-    calf = thigh.add_body(name=f'{prefix}_calf', pos=[0, 0, -THIGH_LENGTH])
-    calf.add_joint(name=f'{prefix}_calf_joint', axis=[0, 1, 0],
-                   type=mujoco.mjtJoint.mjJNT_HINGE, range=list(CALF_RANGE))
-    calf.add_geom(name=f'{prefix}_calf_collision',
-                  type=mujoco.mjtGeom.mjGEOM_CAPSULE,
-                  fromto=[0, 0, 0, 0, 0, -CALF_LENGTH],
-                  size=[0.016, 0, 0], mass=CALF_MASS,
-                  rgba=[0.15, 0.15, 0.15, 1])
-    calf.add_geom(name=f'{prefix}_foot_collision',
-                  type=mujoco.mjtGeom.mjGEOM_SPHERE,
-                  pos=[0, 0, -CALF_LENGTH], size=[FOOT_RADIUS, 0, 0],
-                  mass=FOOT_MASS, rgba=[0.1, 0.1, 0.1, 1])
-  return spec
+  return build_robot_spec(SPEC_DATA)
 
 
 _FOOT_REGEX = '^[FR][LR]_foot_collision$'
 
-# Feet are the only colliders; priority + custom friction/solimp
-# (reference go1_constants.py:105-117).
+# Collision presets mirroring reference go1_constants.py:105-130.
 FEET_ONLY_COLLISION = CollisionCfg(
     geom_names_expr=[_FOOT_REGEX],
     contype=0, conaffinity=1, condim=3, priority=1,
     friction=(0.6,), solimp=(0.9, 0.95, 0.023))
 
+# Everything collides with the world (no self-collisions); feet get
+# condim=3 + priority + friction/solimp overrides.
 FULL_COLLISION = CollisionCfg(
     geom_names_expr=['.*_collision'],
     condim={_FOOT_REGEX: 3, '.*_collision': 1},
@@ -152,7 +88,12 @@ GO1_ROBOT_CFG = EntityCfg(
     spec_fn=get_spec,
     init_state=INIT_STATE,
     actuators=(GO1_HIP_ACTUATOR_CFG, GO1_KNEE_ACTUATOR_CFG),
-    spec_editors=(FEET_ONLY_COLLISION,),
+    spec_editors=(FULL_COLLISION,),
     soft_joint_pos_limit_factor=0.9)
 
-GO1_ACTION_SCALE = 0.25
+# per-joint action scale 0.25 * effort / kp (reference go1_constants.py:148-161)
+GO1_ACTION_SCALE: dict[str, float] = {}
+for _a in (GO1_HIP_ACTUATOR_CFG, GO1_KNEE_ACTUATOR_CFG):
+  for _n in _a.joint_names_expr:
+    if _a.stiffness:
+      GO1_ACTION_SCALE[_n] = 0.25 * _a.effort_limit / _a.stiffness

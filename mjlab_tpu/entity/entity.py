@@ -100,6 +100,35 @@ class Entity:
     self.site_names = [s.name for s in self.spec.sites if s.name]
     self.actuator_names = [a.name for a in self.spec.actuators]
     self.sensor_names = [s.name for s in self.spec.sensors]
+    self._add_initial_state_keyframe()
+
+  def _add_initial_state_keyframe(self) -> None:
+    """Add an 'init_state' keyframe to the spec (reference
+    src/mjlab/entity/entity.py:146-161): qpos = [pos, rot, joint_pos],
+    ctrl = joint_pos targets for actuated entities."""
+    init = self.cfg.init_state
+    qpos_parts = []
+    if self._free_joint_names:
+      qpos_parts.extend([list(init.pos), list(init.rot)])
+    joint_pos = None
+    if self.joint_names:
+      jp = np.zeros(len(self.joint_names))
+      ids, _, vals = resolve_matching_names_values(
+          init.joint_pos, self.joint_names)
+      jp[ids] = vals
+      joint_pos = jp
+      # scalar hinge/slide joints contribute 1 qpos each; ball joints 4
+      for j, name in zip(
+          (j for j in self.spec.joints
+           if j.type != mujoco.mjtJoint.mjJNT_FREE), self.joint_names):
+        if j.type == mujoco.mjtJoint.mjJNT_BALL:
+          qpos_parts.append([1.0, 0.0, 0.0, 0.0])
+        else:
+          qpos_parts.append([jp[self.joint_names.index(name)]])
+    key_qpos = np.hstack(qpos_parts) if qpos_parts else np.array([])
+    key = self.spec.add_key(name='init_state', qpos=key_qpos)
+    if joint_pos is not None and len(self.actuator_names) == len(joint_pos):
+      key.ctrl = joint_pos
 
   # --- property matrix (reference entity.py:94-113) ---
   @property
@@ -334,6 +363,9 @@ class EntityView:
   # ------------------------------------------------------------------
   @staticmethod
   def _masked_set(arr, cols, value, mask):
+    # cast explicitly: under x64 (oracle tests) a float64 value scattered
+    # into an f32 array is a FutureWarning, soon an error
+    value = jnp.asarray(value, arr.dtype)
     new = arr.at[:, cols].set(value)
     if mask is None:
       return new

@@ -19,7 +19,7 @@ from typing import Literal, Sequence
 
 import mujoco
 
-from mjlab_tpu.utils.string import resolve_matching_names
+from mjlab_tpu.utils.string import filter_exp, resolve_prefix_value
 
 _SENSOR_TYPES = {
     'gyro': mujoco.mjtSensor.mjSENS_GYRO,
@@ -56,14 +56,11 @@ class SpecCfg:
 
 
 def _resolve_value(field, name: str, names: Sequence[str]):
-  """Scalar-or-regex-dict field resolution for a single name."""
-  if isinstance(field, dict):
-    import re
-    for pat, val in field.items():
-      if re.fullmatch(pat, name):
-        return val
-    return None
-  return field
+  """Scalar-or-regex-dict field resolution for a single name.
+
+  Prefix-match, first-pattern-wins — the reference spec-editor contract
+  (reference src/mjlab/utils/string.py:5-23)."""
+  return resolve_prefix_value(field, name)
 
 
 @dataclasses.dataclass
@@ -91,9 +88,8 @@ class ActuatorSetCfg(SpecCfg):
         raise ValueError('effort_limit must be positive')
       if cfg.stiffness < 0 or cfg.damping < 0:
         raise ValueError('stiffness/damping must be non-negative')
-      try:
-        _, matched = resolve_matching_names(cfg.joint_names_expr, joint_names)
-      except ValueError:
+      matched = filter_exp(cfg.joint_names_expr, joint_names)
+      if not matched:
         continue
       any_match = True
       for name in matched:
@@ -139,8 +135,7 @@ class CollisionCfg(SpecCfg):
 
   def edit_spec(self, spec: mujoco.MjSpec) -> None:
     geom_names = [g.name for g in spec.geoms if g.name]
-    _, matched = resolve_matching_names(self.geom_names_expr, geom_names)
-    matched_set = set(matched)
+    matched_set = set(filter_exp(self.geom_names_expr, geom_names))
     for g in spec.geoms:
       if g.name in matched_set:
         for field in ('contype', 'conaffinity', 'condim', 'priority'):

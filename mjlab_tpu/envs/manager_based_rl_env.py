@@ -368,6 +368,9 @@ class ManagerBasedRlEnv:
     if self._state is None:
       self.reset()
     self._state, out = self._step_jit(self._state, jnp.asarray(action))
+    # device-array extras kept for viewers (reward plots etc.); fetching
+    # is the consumer's choice so the step stays sync-free
+    self.last_extras = out[4]
     return out
 
   @property

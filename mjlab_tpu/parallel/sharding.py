@@ -44,3 +44,19 @@ def assert_divisible(num_envs: int, mesh: Mesh, axis_name: str = 'env'):
   if num_envs % n:
     raise ValueError(
         f'num_envs={num_envs} not divisible by mesh axis {axis_name}={n}')
+
+
+def enable_sharding(train_state: Any, num_envs: int,
+                    n_devices: int | None = None) -> tuple:
+  """Shard a TrainState's env axis over all (or n) visible devices and
+  set the mesh as the process-global default so subsequent jitted calls
+  keep the placement. Returns (mesh, sharded_train_state).
+
+  This is the whole multi-chip story: physics/env state is
+  embarrassingly parallel along 'env', and the PPO update's gradient
+  reductions become ICI psums inserted by XLA (SURVEY.md 2.10)."""
+  mesh = make_mesh(n_devices)
+  assert_divisible(num_envs, mesh)
+  ts = shard_batched(train_state, mesh, num_envs)
+  jax.set_mesh(mesh)
+  return mesh, ts

@@ -50,7 +50,15 @@ def _plane_capsule(p1, m1, s1, p2, m2, s2):
   dist = cdist - r[..., None]
   pos = ends - n[..., None, :] * (r[..., None] + 0.5 * dist)[..., None]
   nrm = jnp.broadcast_to(n[..., None, :], pos.shape)
-  return dist, pos, nrm
+  # MuJoCo aligns the first tangent with the capsule axis projected onto
+  # the plane (oracle parity: pyramidal cone facets follow the capsule);
+  # fall back to the generic frame for a near-vertical capsule.
+  proj = axis - n * jnp.sum(axis * n, axis=-1, keepdims=True)
+  pn = jnp.linalg.norm(proj, axis=-1, keepdims=True)
+  generic = pmath.make_tangent_frame(n)[..., 1, :]
+  t1 = jnp.where(pn > 1e-9, proj / jnp.maximum(pn, 1e-12), generic)
+  t1 = jnp.broadcast_to(t1[..., None, :], pos.shape)
+  return dist, pos, nrm, t1
 
 
 def _plane_box(p1, m1, s1, p2, m2, s2):
@@ -536,17 +544,25 @@ def collision(m: Model, d: Data) -> Data:
 
   for key, (g1s, g2s, base, npts) in s.pairs.groups.items():
     n = len(g1s)
+    ct1 = None
     if key in _HF_COLLIDERS:
       cd, cp, cn = _HF_COLLIDERS[key](m, d, g1s, g2s, npts)
     else:
       fn = _COLLIDERS[key]
       p1, m1_, s1_ = d.geom_xpos[g1s], d.geom_xmat[g1s], m.geom_size[g1s]
       p2, m2_, s2_ = d.geom_xpos[g2s], d.geom_xmat[g2s], m.geom_size[g2s]
-      cd, cp, cn = fn(p1, m1_, s1_, p2, m2_, s2_)
+      out = fn(p1, m1_, s1_, p2, m2_, s2_)
+      cd, cp, cn = out[:3]
+      ct1 = out[3] if len(out) > 3 else None
     cd = cd.reshape(n * npts)
     cp = cp.reshape(n * npts, 3)
     cn = cn.reshape(n * npts, 3)
-    fr = pmath.make_tangent_frame(cn)
+    if ct1 is None:
+      fr = pmath.make_tangent_frame(cn)
+    else:
+      # collider-provided first tangent (MuJoCo geometry-derived frames)
+      ct1 = ct1.reshape(n * npts, 3)
+      fr = jnp.stack([cn, ct1, jnp.cross(cn, ct1)], axis=-2)
 
     fric, sr, si, inc, marg = _mix_params(m, g1s, g2s)
     rep = lambda x: jnp.repeat(x, npts, axis=0)

@@ -73,7 +73,8 @@ def _cost_friction(jar, D, floss, active):
 
 
 def _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
-                l_act, f_aref, fD, floss, f_act, iterations, ldof):
+                l_act, f_aref, fD, floss, f_act, iterations, ls_polish,
+                ldof):
   """Single-env structured Newton solve ->
   (qacc, f_friction (nv,), f_limit (nl,), f_contact (ncr,)).
   Pure jax.numpy path (float64 CPU oracle tests + custom_vmap fallback).
@@ -168,7 +169,7 @@ def _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
       g, h = phi_grad_hess(a)
       return a - g / jnp.maximum(h, _EPS)
 
-    alpha = jax.lax.fori_loop(0, 2, polish, alpha)
+    alpha = jax.lax.fori_loop(0, ls_polish, polish, alpha)
     return x + jnp.maximum(alpha, 0.0) * dx
 
   x = jax.lax.fori_loop(0, iterations, newton_step, x0)
@@ -177,7 +178,7 @@ def _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
 
 
 @functools.lru_cache(maxsize=None)
-def _newton_fn(iterations: int, ldof: tuple):
+def _newton_fn(iterations: int, ls_polish: int, ldof: tuple):
   """custom_vmap Newton solve: the vmapped TPU path can run the whole
   solver as one Pallas kernel (MJLAB_NEWTON_KERNEL=1); by default the
   vmapped jax path runs with the fused Pallas Cholesky solve."""
@@ -188,7 +189,7 @@ def _newton_fn(iterations: int, ldof: tuple):
          f_aref, fD, floss, f_act):
     return _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref,
                        lD, l_act, f_aref, fD, floss, f_act, iterations,
-                       ldof_np)
+                       ls_polish, ldof_np)
 
   @fn.def_vmap
   def _rule(axis_size, in_batched, *args):  # noqa: ANN001
@@ -202,10 +203,11 @@ def _newton_fn(iterations: int, ldof: tuple):
         and M.shape[0] >= 256
         and _kernel_vmem_bytes(M.shape[-1], cJ.shape[1]) < 11 * 2 ** 20):
       from mjlab_tpu.ops.newton import newton_solve_tpu
-      out = newton_solve_tpu(*args, iterations=iterations, ldof=ldof)
+      out = newton_solve_tpu(*args, iterations=iterations,
+                             ls_polish=ls_polish, ldof=ldof)
     else:
       out = jax.vmap(
-          lambda *a: _newton_jax(*a, iterations, ldof_np))(*args)
+          lambda *a: _newton_jax(*a, iterations, ls_polish, ldof_np))(*args)
     return out, (True, True, True, True)
 
   return fn
@@ -224,7 +226,12 @@ def solve(m: Model, d: Data, efc) -> Data:
   """Run the Newton solver; returns Data with qacc/qfrc_constraint/efc_force."""
   s = m.stat
   ldof = tuple(int(i) for i in _constraint.limit_dofadr(s))
-  fn = _newton_fn(int(s.iterations), ldof)
+  # ls_iterations -> 1D-polish step count: the 10-point parallel grid
+  # costs ~10 evaluations, each polish step one more. The flagship
+  # config (ls_iterations=20) keeps the round-1 default of 2 polish
+  # steps; larger budgets (oracle tests use 50) polish further.
+  ls_polish = max(1, min((int(s.ls_iterations) - 10) // 4, 6))
+  fn = _newton_fn(int(s.iterations), ls_polish, ldof)
   x, ff, fl, fc = fn(
       d.qM, d.qacc_smooth, d.qacc_warmstart,
       efc['c_J'], efc['c_aref'], efc['c_D'], efc['c_active'],

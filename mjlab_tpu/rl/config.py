@@ -50,7 +50,13 @@ class RslRlOnPolicyRunnerCfg:
   save_interval: int = 500
   experiment_name: str = 'exp'
   run_name: str = ''
-  logger: Literal['jsonl', 'tensorboard', 'none'] = 'jsonl'
+  logger: Literal['jsonl', 'tensorboard', 'wandb', 'none'] = 'jsonl'
+  # training-time rollout videos (reference scripts/train.py:30-32 +
+  # gym RecordVideo): env-0 qpos frames buffered from the live rollout,
+  # rendered offscreen every video_interval iterations.
+  video: bool = False
+  video_length: int = 200  # frames
+  video_interval: int = 2000  # iterations
   # group routing: actor reads obs_groups['policy'], critic obs_groups['critic']
   obs_groups: dict = dataclasses.field(default_factory=lambda: {
       'policy': ['policy'], 'critic': ['policy', 'critic']})

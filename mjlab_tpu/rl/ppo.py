@@ -68,6 +68,10 @@ class PPO:
     self.env = env
     self.cfg = cfg
     self._step_fn = step_fn or env.step_fn
+    # when cfg.video is set, the rollout also emits env-0 qpos per step
+    # (tiny: (T, nq)) so the runner can buffer training-video frames
+    # without any extra rollouts or host syncs
+    self._record_qpos = bool(getattr(cfg, 'video', False))
     pol = cfg.policy
     alg = cfg.algorithm
 
@@ -161,16 +165,23 @@ class PPO:
                       logprob=logprob, mean=mean, value=value, reward=reward,
                       done=done, time_out=extras['time_outs'])
       log_extras = {k: v for k, v in extras.items() if k != 'time_outs'}
+      ys = (tr, log_extras)
+      if self._record_qpos:
+        ys = ys + (env_state.data.qpos[0],)
       return ((env_state, next_obs, rng, a_norm, c_norm, reward_acc,
-               len_acc, ep_rew, ep_len, nresets), (tr, log_extras))
+               len_acc, ep_rew, ep_len, nresets), ys)
 
     n = self.env.num_envs
     f32 = jnp.float32
     carry0 = (ts.env_state, ts.obs, ts.rng, ts.actor_norm, ts.critic_norm,
               jnp.zeros(n, f32), jnp.zeros(n, jnp.int32),
               jnp.zeros((), f32), jnp.zeros((), f32), jnp.zeros((), f32))
-    carry, (traj, extras) = jax.lax.scan(
+    carry, ys = jax.lax.scan(
         step, carry0, None, length=self.cfg.num_steps_per_env)
+    if self._record_qpos:
+      traj, extras, qpos_traj0 = ys
+    else:
+      (traj, extras), qpos_traj0 = ys, None
     (env_state, last_obs, rng, a_norm, c_norm, _, _, ep_rew, ep_len,
      nresets) = carry
 
@@ -181,7 +192,7 @@ class PPO:
     stats = {'ep_rew': ep_rew, 'ep_len': ep_len, 'nresets': nresets}
     del alg
     return (env_state, last_obs, rng, traj, last_value, extras, stats,
-            a_norm, c_norm)
+            a_norm, c_norm, qpos_traj0)
 
   def _gae(self, traj: Transition, last_value):
     alg = self.cfg.algorithm
@@ -288,7 +299,7 @@ class PPO:
 
   def _learn_iteration(self, ts: TrainState):
     (env_state, last_obs, rng, traj, last_value, extras, stats, a_norm,
-     c_norm) = self._rollout(ts)
+     c_norm, qpos_traj0) = self._rollout(ts)
     adv, returns = self._gae(traj, last_value)
 
     params, opt_state, lr, rng, logs = self._update(ts, traj, adv, returns,
@@ -318,6 +329,9 @@ class PPO:
           extras['episode_length_sum']) / wsum
     else:
       logs['mean_episode_length'] = stats['ep_len'] / nresets
+
+    if qpos_traj0 is not None:
+      logs['_qpos_env0'] = qpos_traj0  # (T, nq), popped by the runner
 
     ts = ts.replace(params=params, opt_state=opt_state, lr=lr,
                     env_state=env_state, obs=last_obs, rng=rng,

@@ -8,7 +8,6 @@ included)."""
 
 from __future__ import annotations
 
-import json
 import os
 import re
 import time
@@ -35,11 +34,19 @@ class OnPolicyRunner:
     self.alg = PPO(env, cfg, step_fn=step_fn)
     self.ts: TrainState = self.alg.init_state(cfg.seed)
     self.log_dir = log_dir
-    self._log_file = None
+    self._writers = []
+    self._video_buf = None
     if log_dir:
       os.makedirs(log_dir, exist_ok=True)
-      if cfg.logger == 'jsonl':
-        self._log_file = open(os.path.join(log_dir, 'metrics.jsonl'), 'a')
+      if cfg.logger != 'none':
+        from mjlab_tpu.rl.writers import make_writers
+        self._writers = make_writers(
+            cfg.logger, log_dir, project=cfg.experiment_name,
+            run_name=cfg.run_name or None)
+      if cfg.video:
+        import collections
+        keep = max(1, -(-cfg.video_length // cfg.num_steps_per_env))
+        self._video_buf = collections.deque(maxlen=keep)
 
   def learn(self, num_iterations: int | None = None,
             log_every: int = 10) -> dict:
@@ -53,6 +60,13 @@ class OnPolicyRunner:
     t_win, it_win = time.time(), 0
     for it in range(n_iter):
       self.ts, logs = self.alg.learn_iteration(self.ts)
+      if self._video_buf is not None:
+        # device arrays only (no host sync); fetched at emit time
+        self._video_buf.append(logs.pop('_qpos_env0'))
+        if (it + 1) % self.cfg.video_interval == 0:
+          self._emit_video(it + 1)
+      else:
+        logs.pop('_qpos_env0', None)
       if it % log_every == 0 or it == n_iter - 1:
         logs = jax.tree.map(lambda x: float(np.asarray(x)), logs)
         now = time.time()
@@ -79,9 +93,27 @@ class OnPolicyRunner:
            f"kl {logs.get('kl', 0):.4f} | lr {logs.get('lr', 0):.1e} | "
            f"steps/s {logs.get('env_steps_per_s', 0):,.0f}")
     print(msg, flush=True)
-    if self._log_file:
-      self._log_file.write(json.dumps(logs) + '\n')
-      self._log_file.flush()
+    for w in self._writers:
+      w.log(logs, logs.get('iteration', 0))
+
+  def _emit_video(self, iteration: int):
+    """Render the buffered env-0 qpos window to an mp4 (reference
+    scripts/train.py:79-87 RecordVideo analog)."""
+    from mjlab_tpu.viewer.offscreen import render_trajectory
+    qpos = np.concatenate([np.asarray(q) for q in self._video_buf], axis=0)
+    qpos = qpos[-self.cfg.video_length:]
+    vdir = os.path.join(self.log_dir, 'videos', 'train')
+    os.makedirs(vdir, exist_ok=True)
+    path = os.path.join(vdir, f'rl-video-iter-{iteration}.mp4')
+    try:
+      render_trajectory(self.env, qpos, path)
+      print(f'[video] wrote {path}', flush=True)
+    except Exception as e:
+      print(f'[video] rendering failed: {e!r}', flush=True)
+
+  def close(self):
+    for w in self._writers:
+      w.close()
 
   # ------------------------------------------------------------------
   def save(self, path: str, full_state: bool = True):
@@ -130,13 +162,18 @@ class OnPolicyRunner:
           'env_state': self.ts.env_state,
           'obs': self.ts.obs,
       }
+      # Probe the checkpoint's structure for env_state instead of
+      # retrying on any failure: a genuine restore error (corrupt file,
+      # shape mismatch after a config change) should surface as itself.
+      ckptr = ocp.PyTreeCheckpointer()
       try:
-        payload = ocp.PyTreeCheckpointer().restore(path, item=template)
+        saved_keys = set(ckptr.metadata(path).keys())
       except Exception:
-        # checkpoint saved without env state
+        saved_keys = set(template)
+      if 'env_state' not in saved_keys:
         template.pop('env_state')
-        template.pop('obs')
-        payload = ocp.PyTreeCheckpointer().restore(path, item=template)
+        template.pop('obs', None)
+      payload = ckptr.restore(path, item=template)
     else:
       import pickle
       with open(path, 'rb') as f:

@@ -16,6 +16,11 @@ from __future__ import annotations
 
 import numpy as np
 
+# Bump when the G1 robot description or the synthetic-motion recipe
+# changes: cached npz files embed robot body poses, so a stale cache
+# against a new robot silently corrupts tracking training targets.
+G1_MOTION_VERSION = 2
+
 
 def _quat_slerp_np(q0, q1, t):
   d = np.sum(q0 * q1, axis=-1, keepdims=True)

@@ -73,15 +73,10 @@ def main(argv=None):
         env, out_dir=os.path.join(log_dir, 'nan_dumps')).wrap(env.step_fn)
   runner = make_runner(env, agent_cfg, log_dir=log_dir, step_fn=step_fn)
   if args.shard:
-    import jax
-    from mjlab_tpu.parallel.sharding import (
-        assert_divisible, make_mesh, shard_batched)
-    mesh = make_mesh()
-    assert_divisible(env.num_envs, mesh)
+    from mjlab_tpu.parallel.sharding import enable_sharding
+    mesh, runner.ts = enable_sharding(runner.ts, env.num_envs)
     print(f'[train] sharding {env.num_envs} envs over '
           f'{mesh.shape["env"]} devices')
-    runner.ts = shard_batched(runner.ts, mesh, env.num_envs)
-    jax.set_mesh(mesh).__enter__()  # leave active for the whole run
   if args.resume or agent_cfg.resume:
     ckpt = get_checkpoint_path(
         os.path.join(args.log_root, agent_cfg.experiment_name),

@@ -5,6 +5,7 @@ from mjlab_tpu.tasks.tracking.config.g1.flat_env_cfg import (
     G1FlatEnvCfg,
     G1FlatEnvCfg_PLAY,
     G1FlatNoStateEstimationEnvCfg,
+    G1FlatNoStateEstimationEnvCfg_PLAY,
 )
 
 
@@ -21,4 +22,7 @@ registry.register('Mjlab-Tracking-Flat-Unitree-G1-No-State-Estimation',
                   rl_cfg_entry_point=_rl_cfg)
 registry.register('Mjlab-Tracking-Flat-Unitree-G1-Play',
                   env_cfg_entry_point=G1FlatEnvCfg_PLAY,
+                  rl_cfg_entry_point=_rl_cfg)
+registry.register('Mjlab-Tracking-Flat-Unitree-G1-No-State-Estimation-Play',
+                  env_cfg_entry_point=G1FlatNoStateEstimationEnvCfg_PLAY,
                   rl_cfg_entry_point=_rl_cfg)

@@ -22,14 +22,14 @@ from mjlab_tpu.scene.scene import SceneCfg
 from mjlab_tpu.tasks.tracking.tracking_env_cfg import TrackingEnvCfg
 from mjlab_tpu.terrains.importer import TerrainImporterCfg
 
+# 14 tracked bodies (reference tasks/tracking/config/g1/flat_env_cfg.py:24-39)
 TRACKED_BODIES = (
-    'pelvis', 'torso_link', 'head_link',
-    'left_hip_yaw_link', 'right_hip_yaw_link',
-    'left_knee_link', 'right_knee_link',
-    'left_ankle_roll_link', 'right_ankle_roll_link',
-    'left_shoulder_yaw_link', 'right_shoulder_yaw_link',
-    'left_elbow_link', 'right_elbow_link',
-    'left_wrist_yaw_link', 'right_wrist_yaw_link',
+    'pelvis',
+    'left_hip_roll_link', 'left_knee_link', 'left_ankle_roll_link',
+    'right_hip_roll_link', 'right_knee_link', 'right_ankle_roll_link',
+    'torso_link',
+    'left_shoulder_roll_link', 'left_elbow_link', 'left_wrist_yaw_link',
+    'right_shoulder_roll_link', 'right_elbow_link', 'right_wrist_yaw_link',
 )
 EE_BODIES = ['left_ankle_roll_link', 'right_ankle_roll_link',
              'left_wrist_yaw_link', 'right_wrist_yaw_link']
@@ -37,10 +37,11 @@ ANCHOR_BODY = 'torso_link'
 
 
 def default_motion_file() -> str:
+  from mjlab_tpu.scripts.motion import G1_MOTION_VERSION
   cache = os.environ.get('MJLAB_TPU_CACHE',
                          os.path.expanduser('~/.cache/mjlab_tpu'))
   os.makedirs(cache, exist_ok=True)
-  path = os.path.join(cache, 'g1_squat_50hz.npz')
+  path = os.path.join(cache, f'g1_squat_50hz_v{G1_MOTION_VERSION}.npz')
   if not os.path.exists(path):
     from mjlab_tpu.scripts.motion import generate_g1_squat_motion
     generate_g1_squat_motion(path)
@@ -92,6 +93,23 @@ class G1FlatNoStateEstimationEnvCfg(G1FlatEnvCfg):
 
 
 @dataclasses.dataclass
+class G1FlatNoStateEstimationEnvCfg_PLAY(G1FlatNoStateEstimationEnvCfg):
+  """Play variant of the no-state-estimation config (reference
+  config/g1/__init__.py:34)."""
+
+  def __post_init__(self):
+    super().__post_init__()
+    self.scene.num_envs = 4
+    self.observations.policy.enable_corruption = False
+    self.events.push_robot = None
+    self.commands.motion.pose_range = {}
+    self.commands.motion.velocity_range = {}
+    self.commands.motion.joint_position_range = (0.0, 0.0)
+    self.commands.motion.disable_adaptive_sampling = True
+    self.episode_length_s = int(1e9)
+
+
+@dataclasses.dataclass
 class G1FlatEnvCfg_PLAY(G1FlatEnvCfg):
 
   def __post_init__(self):
@@ -103,3 +121,4 @@ class G1FlatEnvCfg_PLAY(G1FlatEnvCfg):
     self.commands.motion.velocity_range = {}
     self.commands.motion.joint_position_range = (0.0, 0.0)
     self.commands.motion.disable_adaptive_sampling = True
+    self.episode_length_s = int(1e9)

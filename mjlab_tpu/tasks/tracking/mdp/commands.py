@@ -276,6 +276,20 @@ class MotionCommand(CommandTerm):
         self.joint_vel_target(st) - self.view.joint_vel(ctx.data), axis=-1)
     return st
 
+  def debug_vis(self, state, env, env_index: int, vis) -> None:
+    """Ghost robot at the anchor-aligned motion target pose + target-body
+    markers (host-side; reference commands.py:400-416 ghost meshes)."""
+    e = env_index
+    t = int(np.asarray(state['time_steps'][e]))
+    # aligned target poses: body 0 of the tracked list is the robot root
+    pos_rel = np.asarray(state['body_pos_relative_w'][e])
+    quat_rel = np.asarray(state['body_quat_relative_w'][e])
+    joint_pos = np.asarray(state['motion/joint_pos'][t])
+    qpos = np.concatenate([pos_rel[0], quat_rel[0], joint_pos])
+    vis.add_ghost_qpos(qpos, alpha=0.35)
+    for p in pos_rel:
+      vis.add_sphere(p, radius=0.02, color=(1.0, 0.3, 0.3, 0.8))
+
 
 def reset_to_motion(ctx, data, mask, key, command_name: str = 'motion'):
   """Reset event: RSI - write the motion reference state (with pose /

@@ -15,20 +15,22 @@ def commands_vel(ctx, state, mask, command_name: str = 'twist',
   host; here the current range is curriculum STATE that
   UniformVelocityCommand reads at resample time inside the jitted step).
 
-  State: {'range_lin_vel_x': (2,)}. Metric: current range magnitude."""
-  del mask
-  rng = state['range_lin_vel_x'] if state is not None else \
-      jnp.asarray(base_range, jnp.float32)
+  State: {'range_lin_vel_x': (2,), 'range_ang_vel_z': (2,)} — the
+  reference widens BOTH lin_vel_x and ang_vel_z at each stage
+  (reference curriculums.py:71-73). Metric: current range magnitude."""
+  del mask, state
   rng = jnp.asarray(base_range, jnp.float32)
   for s in velocity_stages:
     rng = jnp.where(ctx.state.common_step >= s['step'],
                     jnp.asarray(s['range'], jnp.float32), rng)
-  return {'range_lin_vel_x': rng}, jnp.max(jnp.abs(rng))
+  return ({'range_lin_vel_x': rng, 'range_ang_vel_z': rng},
+          jnp.max(jnp.abs(rng)))
 
 
 def _commands_vel_init(base_range=(-1.0, 1.0), **kw):
   del kw
-  return {'range_lin_vel_x': jnp.asarray(base_range, jnp.float32)}
+  rng = jnp.asarray(base_range, jnp.float32)
+  return {'range_lin_vel_x': rng, 'range_ang_vel_z': rng}
 
 
 commands_vel.init_state = _commands_vel_init
@@ -58,8 +60,12 @@ def terrain_levels_vel(ctx, state, mask, command_name: str = 'twist',
       view.root_pos_w(ctx.data)[:, :2] - state['origins'][:, :2], axis=-1)
   cmd = ctx.commands[command_name]
   required = jnp.linalg.norm(cmd[:, :2], axis=-1) * ctx.max_episode_length_s
-  move_up = dist > required * 0.5
-  move_down = (dist < required * 0.25) & ~move_up
+  # Reference semantics (curriculums.py:40-47): promote on absolute
+  # progress past half a terrain cell; demote when covering less than
+  # half the commanded distance.
+  cell_half = 0.5 * float(ctx.scene.terrain.generator.cfg.size[0])
+  move_up = dist > cell_half
+  move_down = (dist < required * 0.5) & ~move_up
   new = levels + jnp.where(move_up, 1, 0) - jnp.where(move_down, 1, 0)
   # past the top: random reassignment (deterministic in common_step)
   key = jax.random.fold_in(jax.random.PRNGKey(17), ctx.state.common_step)

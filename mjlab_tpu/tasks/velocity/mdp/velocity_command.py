@@ -61,20 +61,24 @@ class UniformVelocityCommand(CommandTerm):
     cfg: UniformVelocityCommandCfg = self.cfg
     r = cfg.ranges
     # the commands_vel curriculum (if present) carries the CURRENT
-    # x-velocity range in its state (staged widening by global step)
+    # x-velocity and yaw-rate ranges in its state (staged widening by
+    # global step; reference curriculums.py:71-73 widens both)
     rx_lo, rx_hi = r.lin_vel_x
+    rz_lo, rz_hi = r.ang_vel_z
     curriculum = getattr(ctx.state, 'curriculum', None) or {}
     for cst in curriculum.values():
       if isinstance(cst, dict) and 'range_lin_vel_x' in cst:
         rx = cst['range_lin_vel_x']
         rx_lo, rx_hi = rx[0], rx[1]
+      if isinstance(cst, dict) and 'range_ang_vel_z' in cst:
+        rz = cst['range_ang_vel_z']
+        rz_lo, rz_hi = rz[0], rz[1]
     k = jax.random.split(key, 6)
     cmd = jnp.stack([
         jax.random.uniform(k[0], (n,), minval=rx_lo, maxval=rx_hi),
         jax.random.uniform(k[1], (n,), minval=r.lin_vel_y[0],
                            maxval=r.lin_vel_y[1]),
-        jax.random.uniform(k[2], (n,), minval=r.ang_vel_z[0],
-                           maxval=r.ang_vel_z[1]),
+        jax.random.uniform(k[2], (n,), minval=rz_lo, maxval=rz_hi),
     ], -1)
     state = dict(state)
     state['command'] = jnp.where(mask[:, None], cmd, state['command'])
@@ -116,3 +120,31 @@ class UniformVelocityCommand(CommandTerm):
     state['metric/error_vel_yaw'] = state['metric/error_vel_yaw'] + \
         jnp.abs(cmd[:, 2] - w[:, 2]) / max_t
     return state
+
+  def debug_vis(self, state, env, env_index: int, vis) -> None:
+    """Goal (green) vs current (blue) velocity arrows above the robot
+    (host-side; reference velocity_command.py:106-176)."""
+    import numpy as np
+    e = env_index
+    data = env.state.data
+    view = env.scene[self.cfg.asset_name]
+    base = np.asarray(view.root_pos_w(data)[e])
+    quat = np.asarray(view.root_quat_w(data)[e])
+    cmd = np.asarray(state['command'][e])
+    vel_b = np.asarray(view.root_lin_vel_b(data)[e])
+    # yaw-only rotation of the base-frame xy command into world
+    yaw = np.arctan2(2 * (quat[0] * quat[3] + quat[1] * quat[2]),
+                     1 - 2 * (quat[2] ** 2 + quat[3] ** 2))
+    c, s = np.cos(yaw), np.sin(yaw)
+
+    def to_world(vb):
+      return np.asarray([c * vb[0] - s * vb[1], s * vb[0] + c * vb[1], 0.0])
+
+    top = base + np.asarray([0.0, 0.0, 0.6])
+    vis.add_arrow(top, top + 0.5 * to_world(cmd),
+                  color=(0.2, 0.8, 0.2, 0.9), radius=0.015)
+    vis.add_arrow(top, top + 0.5 * to_world(vel_b),
+                  color=(0.2, 0.4, 0.9, 0.9), radius=0.015)
+    # yaw-rate indicator: short arc arrow along +y proportional to wz
+    vis.add_arrow(top, top + np.asarray([0.0, 0.25 * float(cmd[2]), 0.0]),
+                  color=(0.9, 0.7, 0.1, 0.7), radius=0.01)

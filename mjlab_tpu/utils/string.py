@@ -91,3 +91,25 @@ def resolve_expr(expr: str | Sequence[str], names: Sequence[str]) -> list[str]:
   """Expand regex expression(s) to the list of matching names (name order)."""
   _, matched = resolve_matching_names(expr, names)
   return matched
+
+
+def filter_exp(exprs: Sequence[str], names: Sequence[str]) -> list[str]:
+  """Prefix-match filter: names matched by any expression, in name order.
+
+  Spec-editor semantics (reference src/mjlab/utils/string.py:26-28):
+  `re.match` (anchored prefix), unlike the manager-side
+  resolve_matching_names which requires a full match. With prefix
+  matching, '.*_collision' also selects 'FR_thigh_collision1'."""
+  compiled = [re.compile(e) for e in exprs]
+  return [n for n in names if any(p.match(n) for p in compiled)]
+
+
+def resolve_prefix_value(field, name: str, default=None):
+  """Scalar-or-dict field resolution for one name with prefix-match,
+  first-pattern-wins semantics (reference src/mjlab/utils/string.py:5-23)."""
+  if isinstance(field, dict):
+    for pat, val in field.items():
+      if re.match(pat, name):
+        return val
+    return default
+  return field

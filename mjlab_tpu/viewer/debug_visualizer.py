@@ -42,12 +42,17 @@ class NullVisualizer:
 
 class MujocoSceneVisualizer:
   """Draws debug geoms into an mjvScene's user geom slots (the native
-  viewer passes `viewer.user_scn`)."""
+  viewer passes `viewer.user_scn`). With an mj_model attached, ghost
+  robots are drawn by FK-posing a private MjData and emitting every
+  primitive geom translucently (the reference's ghost-mesh analog,
+  reference tasks/tracking/mdp/commands.py:400-416)."""
 
-  def __init__(self, scene):
+  def __init__(self, scene, mj_model=None):
     import mujoco
     self._mujoco = mujoco
     self.scn = scene
+    self.mj = mj_model
+    self._ghost_md = mujoco.MjData(mj_model) if mj_model is not None else None
 
   def clear(self):
     self.scn.ngeom = 0
@@ -80,7 +85,20 @@ class MujocoSceneVisualizer:
     self._add(mj.mjtGeom.mjGEOM_SPHERE, [radius, 0, 0], pos,
               np.eye(3), color)
 
-  def add_ghost_qpos(self, qpos, alpha=0.3):
-    """Ghost robots need a second MjData pass; front ends that support it
-    override (viser); the native scene approximates with site markers."""
-    del qpos, alpha
+  def add_ghost_qpos(self, qpos, alpha=0.3, rgb=(0.2, 0.6, 1.0)):
+    """FK-pose a private MjData at `qpos` and draw every robot primitive
+    geom translucently (visual group<=3, non-plane/hfield)."""
+    if self._ghost_md is None:
+      return
+    mj = self._mujoco
+    m, md = self.mj, self._ghost_md
+    md.qpos[:len(qpos)] = np.asarray(qpos, np.float64)
+    mj.mj_kinematics(m, md)
+    skip = (mj.mjtGeom.mjGEOM_PLANE, mj.mjtGeom.mjGEOM_HFIELD)
+    rgba = np.asarray(list(rgb) + [alpha], np.float32)
+    for g in range(m.ngeom):
+      gtype = m.geom_type[g]
+      if gtype in skip or m.geom_bodyid[g] == 0:
+        continue
+      self._add(gtype, m.geom_size[g], md.geom_xpos[g],
+                md.geom_xmat[g], rgba)

@@ -21,11 +21,13 @@ class NativeMujocoViewer(BaseViewer):
   def setup(self):
     import mujoco
     import mujoco.viewer
+    from mjlab_tpu.viewer.debug_visualizer import MujocoSceneVisualizer
     self._mujoco = mujoco
     self.mj = self.env.scene.mj_model
     self.md = mujoco.MjData(self.mj)
     self.viewer = mujoco.viewer.launch_passive(
         self.mj, self.md, key_callback=self._on_key)
+    self.debug_vis = MujocoSceneVisualizer(self.viewer.user_scn, self.mj)
 
   def _on_key(self, keycode: int):
     key = chr(keycode) if 0 <= keycode < 0x110000 else ''
@@ -50,7 +52,25 @@ class NativeMujocoViewer(BaseViewer):
     self.md.qpos[:] = np.asarray(self.env.state.data.qpos[e])
     self.md.qvel[:] = np.asarray(self.env.state.data.qvel[e])
     self._mujoco.mj_forward(self.mj, self.md)
+    self._draw_debug()
     self.viewer.sync()
+
+  def _draw_debug(self):
+    """Command-term debug visualization (velocity arrows, motion ghosts —
+    reference velocity_command.py:106-176, commands.py:400-416)."""
+    self.debug_vis.clear()
+    mgr = getattr(self.env, 'command_manager', None)
+    if mgr is None:
+      return
+    for name, term in mgr.terms.items():
+      fn = getattr(term, 'debug_vis', None)
+      if fn is None:
+        continue
+      try:
+        fn(self.env.state.command[name], self.env, self.env_index,
+           self.debug_vis)
+      except Exception as exc:
+        print(f'[viewer] debug_vis({name}) failed: {exc!r}')
 
   def sync_viewer_to_env(self):
     # GUI perturbation forces -> xfrc_applied on the selected env

@@ -1,0 +1,101 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh
+(SURVEY.md §2.10 TPU plan; the reference has no distributed analog).
+
+Covers: NamedSharding placement of Env/TrainState, sharded-vs-unsharded
+PPO iteration numerical equivalence, and the train-CLI sharding path
+(enable_sharding — the code `train.py --shard` runs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mjlab_tpu.parallel.sharding import (
+    assert_divisible,
+    enable_sharding,
+    make_mesh,
+    shard_batched,
+)
+
+N_ENVS = 16
+
+
+@pytest.fixture(scope='module')
+def go1_env():
+  from mjlab_tpu.tasks import registry
+  cfg = registry.load_cfg('Mjlab-Velocity-Flat-Unitree-Go1')
+  cfg.scene.num_envs = N_ENVS
+  return registry.make('Mjlab-Velocity-Flat-Unitree-Go1', cfg=cfg)
+
+
+@pytest.fixture(scope='module')
+def rl_cfg():
+  from mjlab_tpu.tasks import registry
+  cfg = registry.load_cfg('Mjlab-Velocity-Flat-Unitree-Go1', 'rl_cfg_entry_point')
+  cfg.num_steps_per_env = 4
+  cfg.save_interval = 0
+  return cfg
+
+
+def test_mesh_and_divisibility():
+  mesh = make_mesh(8)
+  assert mesh.shape['env'] == 8
+  assert_divisible(16, mesh)
+  with pytest.raises(ValueError):
+    assert_divisible(12, make_mesh(8))
+
+
+def test_shard_batched_placement(go1_env):
+  mesh = make_mesh(8)
+  state, obs = go1_env.init_state(0)
+  sharded = shard_batched(state, mesh, N_ENVS)
+  # env-axis leaves are split over 8 devices, scalars replicated
+  qpos_shards = sharded.data.qpos.sharding
+  assert qpos_shards.is_equivalent_to(
+      jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec('env')),
+      sharded.data.qpos.ndim)
+  n_dev = len(sharded.data.qpos.devices())
+  assert n_dev == 8
+
+
+def test_sharded_ppo_iteration_matches_unsharded(go1_env, rl_cfg):
+  """The same PPO iteration, sharded over 8 devices vs single-device:
+  identical math (gradient reductions become collectives)."""
+  from mjlab_tpu.rl.ppo import PPO
+  alg = PPO(go1_env, rl_cfg)
+
+  ts0 = alg.init_state(0)
+  ts_ref, logs_ref = alg.learn_iteration(ts0)
+
+  mesh, ts_sh = enable_sharding(alg.init_state(0), N_ENVS, 8)
+  try:
+    ts_out, logs_sh = alg.learn_iteration(ts_sh)
+  finally:
+    jax.set_mesh(None)
+
+  for k in ('loss', 'kl', 'mean_reward'):
+    np.testing.assert_allclose(
+        float(np.asarray(logs_sh[k])), float(np.asarray(logs_ref[k])),
+        rtol=2e-4, atol=2e-6, err_msg=k)
+  # parameters after the update agree
+  flat_ref = jax.tree_util.tree_leaves(ts_ref.params)
+  flat_sh = jax.tree_util.tree_leaves(ts_out.params)
+  for a, b in zip(flat_ref, flat_sh):
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=2e-4, atol=2e-6)
+  # env state stays sharded through the iteration
+  assert len(ts_out.env_state.data.qpos.devices()) == 8
+
+
+def test_enable_sharding_is_trains_cli_path(go1_env, rl_cfg):
+  """enable_sharding is exactly what `train.py --shard` executes; a short
+  learn() must run under the active mesh."""
+  from mjlab_tpu.rl.runner import OnPolicyRunner
+  runner = OnPolicyRunner(go1_env, rl_cfg)
+  mesh, runner.ts = enable_sharding(runner.ts, N_ENVS, 8)
+  try:
+    logs = runner.learn(num_iterations=2, log_every=1)
+  finally:
+    jax.set_mesh(None)
+  assert np.isfinite(logs['loss'])
+  assert np.isfinite(logs['mean_reward'])
