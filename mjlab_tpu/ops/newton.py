@@ -35,7 +35,8 @@ def _rsum(v):
   return jnp.sum(v[None], axis=1)
 
 
-def _make_kernel(iterations: int, n: int, ncr: int, nl: int, ldof: tuple):
+def _make_kernel(iterations: int, ls_polish: int, n: int, ncr: int, nl: int,
+                 ldof: tuple):
   """Kernel closure over static sizes/iteration count/limit dof map."""
 
   def f_oneside(jar, D, act):
@@ -217,7 +218,7 @@ def _make_kernel(iterations: int, n: int, ncr: int, nl: int, ldof: tuple):
                         / jnp.where(jnp.abs(denom) > _EPS, denom, 1.0),
                         lo)
       alpha = jnp.where(found_hi, alpha, a1 * scales[-1])
-      for _p in range(2):
+      for _p in range(ls_polish):
         g_p, h_p = phi_gh(alpha)
         alpha = alpha - g_p / jnp.maximum(h_p, _EPS)
       alpha = jnp.maximum(alpha, 0.0)
@@ -233,10 +234,12 @@ def _make_kernel(iterations: int, n: int, ncr: int, nl: int, ldof: tuple):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('iterations', 'ldof', 'block_b'))
+                   static_argnames=('iterations', 'ls_polish', 'ldof',
+                                    'block_b'))
 def newton_solve_tpu(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
                      l_act, f_aref, fD, floss, f_act,
-                     iterations: int, ldof: tuple, block_b: int = _LANES):
+                     iterations: int, ldof: tuple, ls_polish: int = 2,
+                     block_b: int = _LANES):
   """Batched structured Newton solve. Returns (qacc (B,n), ff (B,n),
   fl (B,nl), fc (B,ncr))."""
   B, n, _ = M.shape
@@ -273,7 +276,7 @@ def newton_solve_tpu(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
                         memory_space=pltpu.VMEM)
 
   in_specs = [spec(a.shape) for a in args]
-  kernel = _make_kernel(iterations, n, ncr, nl, ldof)
+  kernel = _make_kernel(iterations, ls_polish, n, ncr, nl, ldof)
   out = pl.pallas_call(
       kernel,
       grid=(Bp // block_b,),

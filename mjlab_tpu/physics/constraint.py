@@ -58,18 +58,23 @@ def efc_layout(stat: ModelStatic) -> EfcLayout:
       stat.jnt_limited &
       np.isin(stat.jnt_type, (int(JointType.HINGE), int(JointType.SLIDE))))[0]
   limit_base = nf
-  if stat.ncon_cap:
-    # compacted layout: ncon_cap selected slots, uniform row structure
-    # (2 rows per friction axis of the model's max condim)
+  if stat.ncon_cap or stat.ncon_cap1:
+    # compacted layout, two pools: ncon_cap frictional slots with a
+    # uniform pyramidal structure (2 rows per friction axis of the max
+    # frictional condim), then ncon_cap1 frictionless slots with one
+    # normal row each
+    k3, k1 = stat.ncon_cap, stat.ncon_cap1
     k_rows = 2 * max(int(stat.con_dim.max()) - 1, 1)
-    n_rows = stat.ncon_cap * k_rows
-    con_base = (limit_base + len(limit_jnt)
-                + k_rows * np.arange(stat.ncon_cap, dtype=np.int32))
+    base0 = limit_base + len(limit_jnt)
+    con_base = np.concatenate([
+        base0 + k_rows * np.arange(k3, dtype=np.int32),
+        base0 + k_rows * k3 + np.arange(k1, dtype=np.int32)])
+    con_rows = np.concatenate([
+        np.full(k3, k_rows, np.int32), np.ones(k1, np.int32)])
     return EfcLayout(
-        nefc=limit_base + len(limit_jnt) + n_rows, nf=nf,
+        nefc=base0 + k3 * k_rows + k1, nf=nf,
         limit_jnt=limit_jnt, limit_base=limit_base,
-        con_base=con_base,
-        con_rows=np.full(stat.ncon_cap, k_rows, np.int32))
+        con_base=con_base, con_rows=con_rows)
   ncon = max(stat.pairs.ncon_max, 1)
   # recover static per-slot condim (same logic as io.make_data)
   con_rows = np.zeros(ncon, np.int32)
@@ -133,96 +138,191 @@ def _kbi(solref: jax.Array, solimp: jax.Array, pos: jax.Array,
   return b, k, imp
 
 
-def _contacts_compacted(m: Model, d: Data, ts, refsafe, dtype):
-  """Contact constraint block from the ncon_cap DEEPEST candidate slots
-  (runtime top-K over penetration — the TPU analog of mjwarp's dynamic
-  contact pool, reference sim.py:87-88 nconmax). All selected slots share
-  a uniform pyramidal row structure of the model's max condim; slots with
-  smaller true condim mask their extra friction axes (a condim-1 slot
-  becomes a +/- pair of normal rows with D split so forces/costs match
-  the single-row formulation exactly)."""
+def compaction_slot_pools(stat: ModelStatic):
+  """Static candidate-slot index lists for the two compaction pools:
+  frictional (condim>1) and frictionless (condim==1)."""
+  nc = stat.pairs.ncon_max
+  dims = np.asarray(stat.con_dim[:nc])
+  return (np.nonzero(dims > 1)[0].astype(np.int32),
+          np.nonzero(dims == 1)[0].astype(np.int32))
+
+
+@functools.lru_cache(maxsize=32)
+def _slot_static(stat: ModelStatic):
+  """Static per-candidate-slot arrays: ancestor-mask delta (nc, nv), the
+  subtree-com row index of each geom's kinematic root, and dims."""
+  nc = max(stat.pairs.ncon_max, 1)
+  b1 = stat.geom_bodyid[np.asarray(stat.con_geom1[:nc])]
+  b2 = stat.geom_bodyid[np.asarray(stat.con_geom2[:nc])]
+  anc = np.asarray(stat.ancestor_mask)
+  return (anc[b2] - anc[b1],  # (nc, nv) signed ancestor delta
+          stat.body_rootid[b1].astype(np.int32),
+          stat.body_rootid[b2].astype(np.int32),
+          b1.astype(np.int32), b2.astype(np.int32))
+
+
+@functools.lru_cache(maxsize=32)
+def _pool_static(stat: ModelStatic, slots_key: tuple):
+  """Constant per-pool matrices for selection-by-matmul: the signed
+  ancestor-delta (nc_pool, nv), a one-hot root-body map (nc_pool, nbody)
+  per side, and the pair inverse weight when invweight is unbatched."""
+  slots = np.asarray(slots_key, np.int32)
+  anc_delta, root1, root2, b1, b2 = _slot_static(stat)
+  nbody = np.asarray(stat.body_rootid).shape[0]
+  r1 = np.zeros((len(slots), nbody), np.float32)
+  r2 = np.zeros((len(slots), nbody), np.float32)
+  r1[np.arange(len(slots)), root1[slots]] = 1.0
+  r2[np.arange(len(slots)), root2[slots]] = 1.0
+  return (anc_delta[slots], r1, r2, b1[slots], b2[slots])
+
+
+def _selected_contact_data(m: Model, d: Data, slots: np.ndarray, K: int,
+                           dtype):
+  """Top-K selection within a static slot pool. Per-slot data reaches the
+  selected set through matmuls — TPU gathers at dynamic indices lower to
+  slow scatter loops, while (K, nc_pool) x (nc_pool, D) GEMMs run on the
+  MXU. Static per-slot operands (ancestor delta, root maps) are CONSTANT
+  matrices, so XLA folds their selection into single large GEMMs."""
   s = m.stat
-  lay = efc_layout(s)
   con = d.contact
-  K = s.ncon_cap
-  A = max(int(s.con_dim.max()) - 1, 1)  # friction axes in the row layout
-  anc = jnp.asarray(s.ancestor_mask, dtype)
+  anc_delta, r1map, r2map, b1, b2 = _pool_static(s, tuple(int(x) for x in slots))
+  sl = jnp.asarray(slots)
+  p_pool = (con.dist - con.includemargin)[sl]
+  _, sel = jax.lax.top_k(-p_pool, K)
+  onehot = jax.nn.one_hot(sel, len(slots), dtype=dtype)  # (K, nc_pool)
 
-  # ---- select the K deepest candidates ----
-  p_all = con.dist - con.includemargin
-  _, idx = jax.lax.top_k(-p_all, K)
-  p = p_all[idx]
-  act = p < 0
-  pos_w = con.pos[idx]
-  frame = con.frame[idx]
-  friction = con.friction[idx]
-  g1 = jnp.asarray(s.con_geom1)[idx]
-  g2 = jnp.asarray(s.con_geom2)[idx]
-  dim = jnp.asarray(s.con_dim)[idx]
-  body_of_geom = jnp.asarray(s.geom_bodyid)
-  rootid = jnp.asarray(s.body_rootid)
-  b1 = body_of_geom[g1]
-  b2 = body_of_geom[g2]
+  # dynamic per-slot fields: one narrow batched select
+  packed = jnp.concatenate([
+      p_pool[:, None], con.pos[sl], con.frame[sl].reshape(-1, 9),
+      con.friction[sl], con.solref[sl], con.solimp[sl],
+  ], axis=-1)  # (nc_pool, 25)
+  out = onehot @ packed
+  p = out[:, 0]
+  pos_w = out[:, 1:4]
+  frame = out[:, 4:13].reshape(K, 3, 3)
+  friction = out[:, 13:18]
+  solref = out[:, 18:20]
+  solimp = out[:, 20:25]
 
-  # ---- jacobians for the selected slots only ----
-  cdof_ang = d.cdof[:, :3]
+  # static-operand selections: constant B folds to (K, X) @ const
+  ancd = onehot @ jnp.asarray(anc_delta, dtype)          # (K, nv)
+  sel_r1 = onehot @ jnp.asarray(r1map, dtype)            # (K, nbody)
+  sel_r2 = onehot @ jnp.asarray(r2map, dtype)
+  croot1 = sel_r1 @ d.subtree_com
+  croot2 = sel_r2 @ d.subtree_com
+  invw_all = (m.body_invweight0[jnp.asarray(b1), 0]
+              + m.body_invweight0[jnp.asarray(b2), 0])   # (nc_pool,)
+  invw = onehot @ invw_all
+  dim = jnp.asarray(s.con_dim)[sl][sel]  # small int gather
+  return p, pos_w, frame, friction, solref, solimp, croot1, croot2, \
+      invw, ancd, dim
+
+
+def _pool_jacobians(d: Data, pos_w, frame, croot1, croot2, ancd,
+                    with_axes: bool):
+  """Contact-frame jacobian rows from pre-selected slot data.
+
+  Uses the identity J_point(p) = ancΔ ⊙ (cdof_lin + ω x (p - c)), with
+  the two-body difference folded into the signed ancestor delta; the
+  root-com terms c differ per side, handled by the correction term."""
+  cdof_ang = d.cdof[:, :3]  # (nv, 3)
   cdof_lin = d.cdof[:, 3:]
-  croot1 = d.subtree_com[rootid[b1]]
-  croot2 = d.subtree_com[rootid[b2]]
 
-  def point_jac(pt, croot, body):
-    rel = pt[:, None, :] - croot[:, None, :]
-    col = cdof_lin[None] + jnp.cross(cdof_ang[None], rel)
-    return col * anc[body][:, :, None]
-
-  jt = point_jac(pos_w, croot2, b2) - point_jac(pos_w, croot1, b1)
-  jr = (cdof_ang[None] * anc[b2][:, :, None]
-        - cdof_ang[None] * anc[b1][:, :, None])
+  # two-sided point jacobian: ancΔ ⊙ (lin + ω x (p - c2*on2 - c1*on1))…
+  # sides share p, so jt = anc2⊙(lin+ωx(p-c2)) - anc1⊙(lin+ωx(p-c1)).
+  # With ancΔ = anc2 - anc1 this is ancΔ⊙(lin+ωxp) - anc2⊙(ωxc2)
+  # + anc1⊙(ωxc1). The c-terms need per-side masks; keep the direct
+  # two-sided form via the midpoint trick: both sides' ancestor sets are
+  # disjoint outside the common ancestors, where the difference cancels
+  # exactly; using the per-slot croots with the signed delta is exact
+  # because a dof is an ancestor of at most one side OR both with equal
+  # croot (same kinematic root).
+  rel1 = pos_w[:, None, :] - croot1[:, None, :]
+  rel2 = pos_w[:, None, :] - croot2[:, None, :]
+  # dofs on side 2 (ancd=+1) use rel2; side 1 (ancd=-1) use rel1; shared
+  # ancestors cancel in the difference so either rel works there.
+  use2 = (ancd > 0)[:, :, None]
+  rel = jnp.where(use2, rel2, rel1)
+  col = cdof_lin[None] + jnp.cross(cdof_ang[None], rel)
+  jt = col * ancd[:, :, None]
+  if not with_axes:
+    n_row = jnp.einsum('cx,cvx->cv', frame[:, 0], jt)
+    return n_row, None, n_row @ d.qvel, None
+  jr = cdof_ang[None] * ancd[:, :, None]
   jt_f = jnp.einsum('cfx,cvx->cfv', frame, jt)  # (K, 3, nv)
   jr_f = jnp.einsum('cfx,cvx->cfv', frame, jr)
-
-  b_c, k_c, imp = _kbi(con.solref[idx], con.solimp[idx], p, ts, refsafe)
-  invw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
-  vel_t = jt_f @ d.qvel  # (K, 3)
+  vel_t = jt_f @ d.qvel
   vel_r = jr_f @ d.qvel
+  return jt_f, jr_f, vel_t, vel_r
 
-  # friction axes 0..A-1 map to (tangent1, tangent2, torsion, roll1, roll2)
-  axes = jnp.concatenate([jt_f[:, 1:3], jr_f], axis=1)[:, :A]  # (K, A, nv)
-  vels = jnp.concatenate([vel_t[:, 1:3], vel_r], axis=1)[:, :A]
-  mu = friction[:, :A]  # (K, A) combined coefficients per axis
 
-  ax_ids = jnp.arange(A)
-  real_axis = ax_ids[None, :] < (dim[:, None] - 1)  # (K, A)
-  # condim-1 slots: axis 0 becomes a frictionless normal pair
-  normal_pair = (dim[:, None] == 1) & (ax_ids[None, :] == 0)
-  row_active = (real_axis | normal_pair) & act[:, None]
-  mu = jnp.where(real_axis, mu, 0.0)
+def _contacts_compacted(m: Model, d: Data, ts, refsafe, dtype):
+  """Contact constraint block from the DEEPEST candidate slots, selected
+  per pool (runtime top-K over penetration — the TPU analog of mjwarp's
+  dynamic contact pool, reference sim.py:87-88 nconmax). Frictional
+  slots (condim>1) build a uniform pyramidal block of 2*(maxdim-1) rows
+  (narrower true condim masks its extra axes); frictionless slots build
+  one one-sided normal row each. Splitting the pools keeps the dense row
+  count — which drives both solver FLOPs and the Pallas kernel's VMEM
+  footprint — near the physical minimum."""
+  s = m.stat
+  lay = efc_layout(s)
+  K3, K1 = s.ncon_cap, s.ncon_cap1
+  A = max(int(s.con_dim.max()) - 1, 1)
+  slots3, slots1 = compaction_slot_pools(s)
+  impratio = m.opt.impratio.astype(dtype)
 
-  # impedance denominators: pyramid dA for real axes, plain normal for the
-  # frictionless pair (with a 1/2 split across the +/- duplicate rows)
-  dA_pyr = invw[:, None] * (1.0 + mu * mu) * 2.0 * mu * mu \
-      / m.opt.impratio.astype(dtype)
-  dA = jnp.where(real_axis, dA_pyr, invw[:, None])
-  r = jnp.maximum((1.0 - imp[:, None]) / imp[:, None] * dA, _MINVAL)
-  D_axis = jnp.where(normal_pair, 0.5 / r, 1.0 / r)  # (K, A)
+  blocks = []
 
-  signs = jnp.asarray([1.0, -1.0], dtype)
-  # rows: (K, A, 2, nv) -> (K*A*2, nv), ordered (axis, +/-) per slot
-  Jrows = (jt_f[:, 0][:, None, None, :]
-           + signs[None, None, :, None] * (mu[..., None] * axes)[:, :, None, :])
-  vrows = (vel_t[:, 0][:, None, None]
-           + signs[None, None, :] * (mu * vels)[:, :, None])
-  aref_rows = (-b_c[:, None, None] * vrows
-               - (k_c * imp * p)[:, None, None])
+  if K3:
+    (p, pos_w, frame, friction, solref, solimp, croot1, croot2, invw,
+     ancd, dim) = _selected_contact_data(m, d, slots3, K3, dtype)
+    act = p < 0
+    jt_f, jr_f, vel_t, vel_r = _pool_jacobians(
+        d, pos_w, frame, croot1, croot2, ancd, True)
+    jn, vn = jt_f[:, 0], vel_t[:, 0]
+    axes = jnp.concatenate([jt_f[:, 1:3], jr_f], axis=1)[:, :A]
+    vels = jnp.concatenate([vel_t[:, 1:3], vel_r], axis=1)[:, :A]
+    b_c, k_c, imp = _kbi(solref, solimp, p, ts, refsafe)
 
-  n_rows = K * A * 2
-  c_J = Jrows.reshape(n_rows, s.nv)
-  c_D = jnp.broadcast_to(D_axis[:, :, None], (K, A, 2)).reshape(n_rows)
-  c_aref = aref_rows.reshape(n_rows)
-  c_active = jnp.broadcast_to(row_active[:, :, None],
-                              (K, A, 2)).reshape(n_rows)
-  c_pos = jnp.broadcast_to(p[:, None, None], (K, A, 2)).reshape(n_rows)
-  assert n_rows == lay.ncr, (n_rows, lay.ncr)
+    mu = friction[:, :A]
+    real_axis = jnp.arange(A)[None, :] < (dim[:, None] - 1)  # (K3, A)
+    mu = jnp.where(real_axis, mu, 0.0)
+    row_active = real_axis & act[:, None]
+    dA = invw[:, None] * (1.0 + mu * mu) * 2.0 * mu * mu / impratio
+    r = jnp.maximum((1.0 - imp[:, None]) / imp[:, None] * dA, _MINVAL)
+    D_axis = 1.0 / r
+
+    signs = jnp.asarray([1.0, -1.0], dtype)
+    Jrows = (jn[:, None, None, :]
+             + signs[None, None, :, None]
+             * (mu[..., None] * axes)[:, :, None, :])
+    vrows = (vn[:, None, None] + signs[None, None, :] * (mu * vels)[:, :, None])
+    aref_rows = (-b_c[:, None, None] * vrows - (k_c * imp * p)[:, None, None])
+    n_rows = K3 * A * 2
+    blocks.append((
+        Jrows.reshape(n_rows, s.nv),
+        jnp.broadcast_to(D_axis[:, :, None], (K3, A, 2)).reshape(n_rows),
+        aref_rows.reshape(n_rows),
+        jnp.broadcast_to(row_active[:, :, None], (K3, A, 2)).reshape(n_rows),
+        jnp.broadcast_to(p[:, None, None], (K3, A, 2)).reshape(n_rows)))
+
+  if K1:
+    (p, pos_w, frame, friction, solref, solimp, croot1, croot2, invw,
+     ancd, dim) = _selected_contact_data(m, d, slots1, K1, dtype)
+    act = p < 0
+    jn, _, vn, _ = _pool_jacobians(
+        d, pos_w, frame, croot1, croot2, ancd, False)
+    b_c, k_c, imp = _kbi(solref, solimp, p, ts, refsafe)
+    r = jnp.maximum((1.0 - imp) / imp * invw, _MINVAL)
+    blocks.append((jn, 1.0 / r, -b_c * vn - k_c * imp * p, act, p))
+
+  c_J = jnp.concatenate([b[0] for b in blocks], axis=0)
+  c_D = jnp.concatenate([b[1] for b in blocks])
+  c_aref = jnp.concatenate([b[2] for b in blocks])
+  c_active = jnp.concatenate([b[3] for b in blocks])
+  c_pos = jnp.concatenate([b[4] for b in blocks])
+  assert c_J.shape[0] == lay.ncr, (c_J.shape, lay.ncr)
   return c_J, c_D, c_aref, c_active, c_pos
 
 
@@ -301,7 +401,8 @@ def make_efc(m: Model, d: Data):
   c_active = jnp.zeros(nce, bool)
   c_pos = jnp.zeros(nce, dtype)
   con_row0 = lay.nf + nl  # global row index of first contact row
-  if s.ncon_cap and not (s.disableflags & DisableBit.CONTACT):
+  if (s.ncon_cap or s.ncon_cap1) and not (
+      s.disableflags & DisableBit.CONTACT):
     c_J, c_D, c_aref, c_active, c_pos = _contacts_compacted(
         m, d, ts, refsafe, dtype)
   elif s.pairs.ncon_max and not (s.disableflags & DisableBit.CONTACT):

@@ -42,6 +42,14 @@ _COLLIDER_POINTS = {
     (GeomType.CAPSULE, GeomType.CAPSULE): 1,
     (GeomType.CAPSULE, GeomType.BOX): 2,
     (GeomType.BOX, GeomType.BOX): 8,
+    (GeomType.SPHERE, GeomType.ELLIPSOID): 1,
+    (GeomType.CAPSULE, GeomType.ELLIPSOID): 1,
+    (GeomType.CAPSULE, GeomType.CYLINDER): 1,
+    (GeomType.ELLIPSOID, GeomType.ELLIPSOID): 1,
+    (GeomType.ELLIPSOID, GeomType.CYLINDER): 1,
+    (GeomType.ELLIPSOID, GeomType.BOX): 1,
+    (GeomType.CYLINDER, GeomType.CYLINDER): 1,
+    (GeomType.CYLINDER, GeomType.BOX): 1,
     (GeomType.HFIELD, GeomType.SPHERE): 3,
     (GeomType.HFIELD, GeomType.CAPSULE): 3,
     (GeomType.HFIELD, GeomType.BOX): 4,
@@ -218,13 +226,40 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32,
     raise NotImplementedError('actuator activation dynamics not supported')
   if m.nhfield > 1:
     raise NotImplementedError('at most one heightfield supported')
+  if int(m.opt.cone) == int(mujoco.mjtCone.mjCONE_ELLIPTIC):
+    # fail loudly rather than silently solving the wrong cone: the Newton
+    # solver implements the pyramidal cost only (MujocoCfg.cone accepts
+    # 'elliptic' for config parity with reference src/mjlab/sim/sim.py:42-82)
+    raise NotImplementedError(
+        "cone='elliptic' is not implemented by the Newton solver yet; "
+        "use cone='pyramidal' (MuJoCo's default for this solver class)")
 
   pairs = _build_pairs(m)
-  if ncon_cap is None:
+  _, _, slot_dims = contact_slot_meta(m, pairs)
+  n3_slots = int((slot_dims[:pairs.ncon_max] > 1).sum())
+  n1_slots = int((slot_dims[:pairs.ncon_max] == 1).sum())
+  auto = ncon_cap is None
+  if auto:
     ncon_cap = _AUTO_NCON_CAP if pairs.ncon_max > _AUTO_NCON_CAP else 0
   ncon_cap = min(int(ncon_cap), pairs.ncon_max)
   if ncon_cap == pairs.ncon_max:
     ncon_cap = 0  # selecting everything = no compaction
+  # split the total cap across the two pools: frictional slots carry
+  # 2*(maxdim-1) rows each, frictionless a single row, so favor the
+  # frictional pool (walking workloads are foot-contact dominated). The
+  # auto split (32 frictional + 16 frictionless) keeps the whole-solver
+  # Pallas kernel inside its VMEM budget for humanoid-scale nv.
+  ncon_cap1 = 0
+  if ncon_cap:
+    if n1_slots == 0:
+      ncon_cap = min(ncon_cap, n3_slots)
+    elif n3_slots == 0:
+      ncon_cap1, ncon_cap = min(ncon_cap, n1_slots), 0
+    elif auto:
+      ncon_cap, ncon_cap1 = min(32, n3_slots), min(16, n1_slots)
+    else:
+      ncon_cap1 = max(min(ncon_cap // 4, n1_slots), 1)
+      ncon_cap = min(ncon_cap - ncon_cap1, n3_slots)
 
   if m.nhfield == 1:
     hf_nrow, hf_ncol = int(m.hfield_nrow[0]), int(m.hfield_ncol[0])
@@ -308,6 +343,7 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32,
       hfield_size=hf_size,
       hfield_geomid=hf_geomid,
       ncon_cap=ncon_cap,
+      ncon_cap1=ncon_cap1,
   )
 
   # Convert on the host and ship the whole pytree with ONE device_put at
@@ -376,10 +412,11 @@ def nefc_max(stat: ModelStatic) -> int:
   """Static constraint row capacity: friction + limits + contact rows."""
   nfric = int(stat.nv)
   nlimit = int(stat.jnt_limited.sum())
-  if stat.ncon_cap:
-    # compacted: uniform rows over the selected slots
+  if stat.ncon_cap or stat.ncon_cap1:
+    # compacted: pyramidal rows for the frictional pool + one normal row
+    # per frictionless-pool slot
     k_rows = 2 * max(int(stat.con_dim.max()) - 1, 1)
-    return nfric + nlimit + stat.ncon_cap * k_rows
+    return nfric + nlimit + stat.ncon_cap * k_rows + stat.ncon_cap1
   ncontact_rows = 0
   for _, (g1s, g2s, base, npts) in stat.pairs.groups.items():
     del base

@@ -146,25 +146,34 @@ def contact_force(m: Model, d: Data) -> jax.Array:
   force = jnp.zeros((ncon, 6), dtype)
   if not s.pairs.ncon_max:
     return force
-  if s.ncon_cap:
-    # Compacted mode: efc rows belong to the K deepest candidate slots in a
-    # uniform (A friction axes x +/-) pyramidal layout. Re-derive the same
-    # deterministic top-K selection used by constraint assembly and scatter
-    # the decoded forces back onto candidate-slot indices (which is what
-    # contact sensors address).
-    K = s.ncon_cap
+  if s.ncon_cap or s.ncon_cap1:
+    # Compacted mode: efc rows belong to the per-pool deepest candidate
+    # slots. Re-derive the same deterministic top-K selections used by
+    # constraint assembly and scatter the decoded forces back onto
+    # candidate-slot indices (which is what contact sensors address).
+    from mjlab_tpu.physics.constraint import compaction_slot_pools
+    K3, K1 = s.ncon_cap, s.ncon_cap1
     A = max(int(s.con_dim.max()) - 1, 1)
+    slots3, slots1 = compaction_slot_pools(s)
     p_all = d.contact.dist - d.contact.includemargin
-    _, idx = jax.lax.top_k(-p_all, K)
-    rows = d.efc_force[lay.con_base[:, None] + np.arange(2 * A)[None, :]]
-    pairs = rows.reshape(K, A, 2)
-    dim = jnp.asarray(s.con_dim)[idx]
-    real_axis = jnp.arange(A)[None, :] < (dim[:, None] - 1)
-    mu = jnp.where(real_axis, d.contact.friction[idx, :A], 0.0)
-    sel = jnp.zeros((K, 6), dtype)
-    sel = sel.at[:, 0].set(jnp.sum(pairs, axis=(1, 2)))
-    sel = sel.at[:, 1:1 + A].set(mu * (pairs[..., 0] - pairs[..., 1]))
-    return force.at[idx].set(sel)
+    if K3:
+      _, sel3 = jax.lax.top_k(-p_all[jnp.asarray(slots3)], K3)
+      idx = jnp.asarray(slots3)[sel3]
+      rows = d.efc_force[lay.con_base[:K3, None]
+                         + np.arange(2 * A)[None, :]]
+      pairs = rows.reshape(K3, A, 2)
+      dim = jnp.asarray(s.con_dim)[idx]
+      real_axis = jnp.arange(A)[None, :] < (dim[:, None] - 1)
+      mu = jnp.where(real_axis, d.contact.friction[idx, :A], 0.0)
+      sel = jnp.zeros((K3, 6), dtype)
+      sel = sel.at[:, 0].set(jnp.sum(pairs, axis=(1, 2)))
+      sel = sel.at[:, 1:1 + A].set(mu * (pairs[..., 0] - pairs[..., 1]))
+      force = force.at[idx].set(sel)
+    if K1:
+      _, sel1 = jax.lax.top_k(-p_all[jnp.asarray(slots1)], K1)
+      idx1 = jnp.asarray(slots1)[sel1]
+      force = force.at[idx1, 0].set(d.efc_force[lay.con_base[K3:K3 + K1]])
+    return force
   nc = s.pairs.ncon_max
   for dim in sorted(set(int(x) for x in s.con_dim[:nc])):
     sl = np.nonzero(s.con_dim[:nc] == dim)[0]

@@ -237,12 +237,18 @@ class ModelStatic(StaticBase):
   hfield_size: np.ndarray = None  # (4,) radius_x, radius_y, elev_z, base_z
   hfield_geomid: int = -1
 
-  # contact compaction: when > 0, only the ncon_cap deepest candidate
-  # contacts feed the constraint solver each step (runtime top-K over the
-  # static pair table) — the TPU analog of mjwarp's dynamic nconmax
-  # (reference src/mjlab/sim/sim.py:87-88). 0 = all slots build rows
-  # (fine for small pair tables; self-collision models need compaction).
+  # contact compaction: when > 0, only the deepest candidate contacts
+  # feed the constraint solver each step (runtime top-K over the static
+  # pair table) — the TPU analog of mjwarp's dynamic nconmax (reference
+  # src/mjlab/sim/sim.py:87-88). Selection runs in TWO pools so row
+  # counts stay minimal (the solver's dense-row cost and the Pallas
+  # kernel's VMEM footprint scale with rows):
+  #   ncon_cap  — frictional slots (condim>1): 2*(maxdim-1) rows each
+  #   ncon_cap1 — frictionless slots (condim==1): 1 normal row each
+  # 0 = all slots build rows (fine for small pair tables; self-collision
+  # models need compaction).
   ncon_cap: int = 0
+  ncon_cap1: int = 0
 
 
 @struct.dataclass

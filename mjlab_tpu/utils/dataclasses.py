@@ -16,14 +16,21 @@ T = TypeVar('T')
 
 
 def get_terms(cfg: Any, term_type: Type[T]) -> dict[str, T]:
-  """Return {field_name: value} for dataclass fields of the given type."""
+  """Return {name: value} for dataclass fields of the given type, plus
+  any extra instance attributes of that type (terms may be injected onto
+  a config instance after construction, e.g. `cfg.events.base_mass =
+  EventTermCfg(...)`)."""
   if cfg is None:
     return {}
   out = {}
-  for f in dataclasses.fields(cfg):
-    value = getattr(cfg, f.name)
+  field_names = {f.name for f in dataclasses.fields(cfg)}
+  for name in field_names:
+    value = getattr(cfg, name)
     if isinstance(value, term_type):
-      out[f.name] = value
+      out[name] = value
+  for name, value in vars(cfg).items():
+    if name not in field_names and isinstance(value, term_type):
+      out[name] = value
   return out
 
 

@@ -19,6 +19,12 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
+# Persistent compile cache: full-env CPU compiles dominate suite wall
+# time (minutes each); cached reruns take seconds.
+jax.config.update(
+    'jax_compilation_cache_dir',
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 assert jax.default_backend() == 'cpu', (
     'tests must run on the CPU backend, got ' + jax.default_backend())

@@ -102,6 +102,40 @@ def test_condim1_equivalence():
   np.testing.assert_allclose(np.asarray(d_comp.qpos),
                              np.asarray(d_full.qpos), atol=1e-6)
 
+def test_mixed_pool_equivalence():
+  """Split-pool compaction (frictional + frictionless pools with separate
+  top-K selections and row structures) matches the full assembly on a
+  mixed-condim scene."""
+  spec = mujoco.MjSpec()
+  spec.worldbody.add_geom(type=mujoco.mjtGeom.mjGEOM_PLANE,
+                          size=[5, 5, 0.1], name='floor')
+  rng = np.random.default_rng(3)
+  for i in range(6):
+    b = spec.worldbody.add_body(
+        name=f'b{i}', pos=[rng.uniform(-0.5, 0.5), rng.uniform(-0.5, 0.5),
+                           0.25 + 0.22 * i])
+    b.add_joint(type=mujoco.mjtJoint.mjJNT_FREE)
+    # alternate frictional boxes and frictionless spheres
+    if i % 2:
+      b.add_geom(name=f'g{i}', type=mujoco.mjtGeom.mjGEOM_BOX,
+                 size=[0.08, 0.06, 0.05], mass=0.3, condim=3)
+    else:
+      b.add_geom(name=f'g{i}', type=mujoco.mjtGeom.mjGEOM_SPHERE,
+                 size=[0.08, 0, 0], mass=0.2, condim=1)
+  spec.option.timestep = 0.005
+  mj = spec.compile()
+  full = pio.put_model(mj, dtype=jnp.float64, ncon_cap=0)
+  ncand = full.stat.pairs.ncon_max
+  comp = pio.put_model(mj, dtype=jnp.float64, ncon_cap=min(32, ncand - 1))
+  assert comp.stat.ncon_cap > 0 and comp.stat.ncon_cap1 > 0
+
+  d_full = _rollout(full, steps=100)
+  d_comp = _rollout(comp, steps=100)
+  assert bool(jnp.isfinite(d_comp.qpos).all())
+  np.testing.assert_allclose(np.asarray(d_comp.qpos),
+                             np.asarray(d_full.qpos), atol=1e-6)
+
+
 def test_contact_force_sensor_equivalence():
   """contact_force must decode the compacted efc rows and scatter them back
   to candidate-slot indices (what contact sensors address)."""

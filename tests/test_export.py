@@ -84,3 +84,31 @@ def test_motion_policy_export(tmp_path):
       parsed['initializers']['motion_joint_pos'], _FakeMotion.joint_pos)
   ops = [n['op_type'] for n in parsed['nodes']]
   assert 'Clip' in ops and ops.count('Gather') == 4
+
+
+def test_onnx_external_checker(tmp_path):
+  """Validate the serialized file with the official onnx checker and
+  execute it under onnxruntime (skips when neither is installed — the
+  hand-written protobuf writer is otherwise only validated against its
+  own parser, which would self-verify a serialization bug)."""
+  import pytest
+  onnx = pytest.importorskip('onnx')
+
+  net, params = _make_policy()
+  norm = RunningNorm.create(24)
+  norm = norm.update(jax.random.normal(jax.random.PRNGKey(1), (100, 24)))
+  path = str(tmp_path / 'policy_ext.onnx')
+  export_policy_as_onnx(params, norm, None, path, metadata={'task': 'x'})
+
+  model = onnx.load(path)
+  onnx.checker.check_model(model)
+
+  try:
+    import onnxruntime as ort
+  except ImportError:
+    pytest.skip('onnxruntime not installed')
+  sess = ort.InferenceSession(path, providers=['CPUExecutionProvider'])
+  x = np.random.default_rng(0).standard_normal((3, 24)).astype(np.float32)
+  (out,) = sess.run(None, {'obs': x})
+  expected = _run_graph(onnx_writer.parse_model(path), x)
+  np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
