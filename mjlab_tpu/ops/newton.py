@@ -9,10 +9,12 @@ friction rows (J = I) and limit rows (one-hot) contribute only to the
 Hessian diagonal; only contact rows are dense.
 
 Layout is structure-of-arrays: batch on the 128-lane axis, so each scalar
-of the per-env recursions is a 128-wide VPU vector op. Selected via
-MJLAB_NEWTON_KERNEL=1 (physics/solver.py); at G1 scale the default
-vmapped-XLA path with the fused Cholesky kernel (ops/pd_solve.py)
-measures slightly faster, but this kernel wins as nefc grows.
+of the per-env recursions is a 128-wide VPU vector op. Default TPU path
+for batch >= 256 within the VMEM budget (physics/solver.py dispatch;
+MJLAB_NEWTON_KERNEL=0 opts out to the vmapped-XLA path with the fused
+Cholesky kernel, ops/pd_solve.py). Known headroom: the Hessian assembly
+is VPU work (~22.6M MACs per 128-env block per Newton iteration); an
+XLA-batched-GEMM hybrid would move it to the MXU.
 """
 
 from __future__ import annotations

@@ -29,10 +29,24 @@ _MAXIMP = 0.9999
 _MINVAL = 1e-15
 
 
+_EQ_CONNECT, _EQ_WELD, _EQ_JOINT = 0, 1, 2
+_EQ_ROWS = {_EQ_CONNECT: 3, _EQ_WELD: 6, _EQ_JOINT: 1}
+
+
+def equality_rows_count(stat: ModelStatic) -> int:
+  if not stat.neq:
+    return 0
+  return int(sum(_EQ_ROWS[int(t)] for t in stat.eq_type[:stat.neq]))
+
+
 @dataclasses.dataclass(frozen=True)
 class EfcLayout:
+  """Row order matches MuJoCo's efc arrays:
+  [equality | dof friction | joint limits | contacts]."""
   nefc: int
-  # friction rows: one per dof, rows [0, nv)
+  # equality rows: [0, ne)
+  ne: int
+  # friction rows: one per dof, rows [ne, ne + nv)
   nf: int
   # limit rows
   limit_jnt: np.ndarray  # joint ids with limits (hinge/slide)
@@ -48,16 +62,17 @@ class EfcLayout:
   @property
   def ncr(self) -> int:
     """Total dense contact rows."""
-    return self.nefc - self.nf - self.nl
+    return self.nefc - self.ne - self.nf - self.nl
 
 
 @functools.lru_cache(maxsize=32)
 def efc_layout(stat: ModelStatic) -> EfcLayout:
+  ne = equality_rows_count(stat)
   nf = stat.nv
   limit_jnt = np.nonzero(
       stat.jnt_limited &
       np.isin(stat.jnt_type, (int(JointType.HINGE), int(JointType.SLIDE))))[0]
-  limit_base = nf
+  limit_base = ne + nf
   if stat.ncon_cap or stat.ncon_cap1:
     # compacted layout, two pools: ncon_cap frictional slots with a
     # uniform pyramidal structure (2 rows per friction axis of the max
@@ -72,14 +87,14 @@ def efc_layout(stat: ModelStatic) -> EfcLayout:
     con_rows = np.concatenate([
         np.full(k3, k_rows, np.int32), np.ones(k1, np.int32)])
     return EfcLayout(
-        nefc=base0 + k3 * k_rows + k1, nf=nf,
+        nefc=base0 + k3 * k_rows + k1, ne=ne, nf=nf,
         limit_jnt=limit_jnt, limit_base=limit_base,
         con_base=con_base, con_rows=con_rows)
   ncon = max(stat.pairs.ncon_max, 1)
   # recover static per-slot condim (same logic as io.make_data)
   con_rows = np.zeros(ncon, np.int32)
   con_base = np.zeros(ncon, np.int32)
-  row = limit_base + len(limit_jnt)
+  row = limit_base + len(limit_jnt)  # limit_base already includes ne
   dims = np.ones(ncon, np.int32)
   for _, (g1s, g2s, base, npts) in stat.pairs.groups.items():
     for i, (g1, g2) in enumerate(zip(g1s, g2s)):
@@ -94,7 +109,7 @@ def efc_layout(stat: ModelStatic) -> EfcLayout:
     con_base[c] = row
     con_rows[c] = 1 if dims[c] == 1 else 2 * (dims[c] - 1)
     row += con_rows[c]
-  return EfcLayout(nefc=row, nf=nf, limit_jnt=limit_jnt,
+  return EfcLayout(nefc=row, ne=ne, nf=nf, limit_jnt=limit_jnt,
                    limit_base=limit_base, con_base=con_base,
                    con_rows=con_rows)
 
@@ -136,6 +151,190 @@ def _kbi(solref: jax.Array, solimp: jax.Array, pos: jax.Array,
   b = jnp.where(direct, -solref[..., 1] / dmax, b_std)
   k = jnp.where(direct, -solref[..., 0] / (dmax * dmax), k_std)
   return b, k, imp
+
+
+def _body_point_jac(m: Model, d: Data, body: int, point, dtype):
+  """(3, nv) translational jacobian of a world point on `body`."""
+  s = m.stat
+  anc = jnp.asarray(s.ancestor_mask[body], dtype)  # (nv,)
+  croot = d.subtree_com[int(s.body_rootid[body])]
+  cdof_ang = d.cdof[:, :3]
+  cdof_lin = d.cdof[:, 3:]
+  col = cdof_lin + jnp.cross(cdof_ang, point[None, :] - croot[None, :])
+  return (col * anc[:, None]).T  # (3, nv)
+
+
+def _eq_residuals(m: Model, qpos, dtype):
+  """Concatenated equality residual vector (ner,) as a pure function of
+  qpos (runs FK internally) — differentiated for the velocity and the
+  J_dot*qvel acceleration-bias term of aref."""
+  from mjlab_tpu.physics import kinematics as _kin
+  from mjlab_tpu.physics import math as pmath
+  from mjlab_tpu.physics.io import make_data
+  s = m.stat
+  dk = make_data(m, dtype=dtype).replace(qpos=qpos)
+  dk = _kin.kinematics(m, dk)
+  parts = []
+  for e in range(s.neq):
+    etype = int(s.eq_type[e])
+    o1, o2 = int(s.eq_obj1[e]), int(s.eq_obj2[e])
+    data = m.eq_data[e].astype(dtype)
+    if etype == _EQ_JOINT:
+      adr1 = int(s.jnt_qposadr[o1])
+      y = qpos[adr1] - m.qpos0[adr1]
+      x = (qpos[int(s.jnt_qposadr[o2])] - m.qpos0[int(s.jnt_qposadr[o2])]
+           if o2 >= 0 else jnp.zeros((), dtype))
+      poly = data[:5]
+      parts.append((y - jnp.sum(poly * x ** jnp.arange(5, dtype=dtype)))[
+          None])
+    elif etype == _EQ_CONNECT:
+      p1 = dk.xpos[o1] + dk.xmat[o1] @ data[0:3]
+      p2 = dk.xpos[o2] + dk.xmat[o2] @ data[3:6]
+      parts.append(p1 - p2)
+    else:  # _EQ_WELD
+      p1 = dk.xpos[o1] + dk.xmat[o1] @ data[3:6]
+      p2 = dk.xpos[o2] + dk.xmat[o2] @ data[0:3]
+      q2inv = pmath.neg_quat(dk.xquat[o2])
+      res_r = data[10] * pmath.mul_quat(
+          pmath.mul_quat(q2inv, dk.xquat[o1]), data[6:10])[1:4]
+      parts.append(jnp.concatenate([p1 - p2, res_r]))
+  return jnp.concatenate(parts)
+
+
+def equality_block(m: Model, d: Data, ts, refsafe, dtype):
+  """Bilateral equality rows (connect / weld / joint), MuJoCo semantics
+  verified against mjData.efc_* (tests/test_equality.py):
+
+  connect: residual = anchor1_w - anchor2_w, J = jacp1 - jacp2.
+  weld:    position rows like connect on (x1 + R1 relpose_p) vs
+           (x2 + R2 anchor); rotation rows r = ts * vec(q2^-1 q1 relq)
+           with columns 0.5*ts*vec(q2^-1 [0, axis_v] q1 relq) signed by
+           the ancestor delta.
+  joint:   r = y - y0 - poly(x - x0); J = e_y - poly'(x - x0) e_x.
+
+  aref includes MuJoCo's acceleration-level bias: aref = -b*(J qvel)
+  - k*imp*pos - Jdot*qvel, with Jdot*qvel obtained as the second
+  directional derivative of the residual along the position-integration
+  path (matches mj_step to machine precision).
+
+  Returns (e_J (ner, nv), e_D, e_aref, e_active, e_pos)."""
+  from mjlab_tpu.physics import math as pmath
+  from mjlab_tpu.physics.pipeline import _integrate_pos
+  s = m.stat
+  nv = s.nv
+  rows_J, rows_D, rows_aref, rows_act, rows_pos = [], [], [], [], []
+  disabled = bool(s.disableflags & DisableBit.EQUALITY)
+
+  def path(sv):
+    return _eq_residuals(m, _integrate_pos(m, d.qpos, d.qvel, sv), dtype)
+
+  def path_vel(sv):
+    return jax.jvp(path, (sv,), (jnp.ones((), dtype),))[1]
+
+  jdot_qvel = jax.jvp(path_vel, (jnp.zeros((), dtype),),
+                      (jnp.ones((), dtype),))[1]
+  row0 = 0
+
+  for e in range(s.neq):
+    etype = int(s.eq_type[e])
+    o1, o2 = int(s.eq_obj1[e]), int(s.eq_obj2[e])
+    data = m.eq_data[e].astype(dtype)
+    solref = m.eq_solref[e].astype(dtype)
+    solimp = m.eq_solimp[e].astype(dtype)
+    act = (m.eq_active0[e] > 0) & (not disabled)
+
+    if etype == _EQ_JOINT:
+      q0 = m.qpos0
+      adr1 = int(s.jnt_qposadr[o1])
+      dof1 = int(s.jnt_dofadr[o1])
+      y = d.qpos[adr1] - q0[adr1]
+      if o2 >= 0:
+        adr2 = int(s.jnt_qposadr[o2])
+        dof2 = int(s.jnt_dofadr[o2])
+        x = d.qpos[adr2] - q0[adr2]
+      else:
+        x = jnp.zeros((), dtype)
+      poly = data[:5]
+      powers = x ** jnp.arange(5, dtype=dtype)
+      res = y - jnp.sum(poly * powers)
+      dpoly = jnp.sum(poly[1:] * jnp.arange(1, 5, dtype=dtype)
+                      * x ** jnp.arange(4, dtype=dtype))
+      J = jnp.zeros((1, nv), dtype).at[0, dof1].set(1.0)
+      if o2 >= 0:
+        J = J.at[0, dof2].add(-dpoly)
+        diag = m.dof_invweight0[dof1] + m.dof_invweight0[dof2]
+      else:
+        diag = m.dof_invweight0[dof1]
+      res = res[None]
+      imp_pos = jnp.abs(res)
+      diag = diag * jnp.ones(1, dtype)
+    elif etype == _EQ_CONNECT:
+      R1 = d.xmat[o1]
+      R2 = d.xmat[o2]
+      p1 = d.xpos[o1] + R1 @ data[0:3]
+      p2 = d.xpos[o2] + R2 @ data[3:6]
+      res = p1 - p2
+      J = _body_point_jac(m, d, o1, p1, dtype) \
+          - _body_point_jac(m, d, o2, p2, dtype)
+      imp_pos = jnp.linalg.norm(res) * jnp.ones(3, dtype)
+      diag = (m.body_invweight0[o1, 0] + m.body_invweight0[o2, 0]) \
+          * jnp.ones(3, dtype)
+    else:  # _EQ_WELD
+      R1 = d.xmat[o1]
+      R2 = d.xmat[o2]
+      anchor = data[0:3]
+      relp = data[3:6]
+      relq = data[6:10]
+      tq = data[10]
+      p1 = d.xpos[o1] + R1 @ relp
+      p2 = d.xpos[o2] + R2 @ anchor
+      res_p = p1 - p2
+      Jp = _body_point_jac(m, d, o1, p1, dtype) \
+          - _body_point_jac(m, d, o2, p2, dtype)
+      q1 = d.xquat[o1]
+      q2 = d.xquat[o2]
+      q2inv = pmath.neg_quat(q2)
+      res_r = tq * pmath.mul_quat(pmath.mul_quat(q2inv, q1), relq)[1:4]
+      # rotation jacobian columns: 0.5*tq*vec(q2^-1 [0,a_v] q1 relq)
+      ancd = jnp.asarray(
+          s.ancestor_mask[o1] - s.ancestor_mask[o2], dtype)  # (nv,)
+      axes4 = jnp.concatenate(
+          [jnp.zeros((nv, 1), dtype), d.cdof[:, :3]], axis=-1)  # (nv, 4)
+      q1relq = pmath.mul_quat(q1, relq)
+      tmp = jax.vmap(lambda a4: pmath.mul_quat(
+          pmath.mul_quat(q2inv, a4), q1relq))(axes4)  # (nv, 4)
+      Jr = (0.5 * tq) * tmp[:, 1:4].T * ancd[None, :]  # (3, nv)
+      J = jnp.concatenate([Jp, Jr], axis=0)
+      res = jnp.concatenate([res_p, res_r])
+      imp_pos = jnp.linalg.norm(res) * jnp.ones(6, dtype)
+      diag = jnp.concatenate([
+          (m.body_invweight0[o1, 0] + m.body_invweight0[o2, 0])
+          * jnp.ones(3, dtype),
+          (m.body_invweight0[o1, 1] + m.body_invweight0[o2, 1])
+          * jnp.ones(3, dtype)])
+
+    nrow = J.shape[0]
+    b_c, k_c, imp = _kbi(jnp.broadcast_to(solref, (nrow, 2)),
+                         jnp.broadcast_to(solimp, (nrow, 5)),
+                         imp_pos, ts, refsafe)
+    vel = J @ d.qvel
+    r = jnp.maximum((1.0 - imp) / imp * diag, _MINVAL)
+    rows_J.append(J)
+    rows_D.append(1.0 / r)
+    # MuJoCo includes the Jdot*qvel acceleration bias for connect/weld
+    # but NOT for joint couplings (verified empirically vs efc_aref)
+    bias = (jdot_qvel[row0:row0 + nrow] if etype != _EQ_JOINT
+            else jnp.zeros(nrow, dtype))
+    rows_aref.append(-b_c * vel - k_c * imp * res - bias)
+    rows_act.append(jnp.broadcast_to(act, (nrow,)))
+    rows_pos.append(res)
+    row0 += nrow
+
+  return (jnp.concatenate(rows_J, axis=0),
+          jnp.concatenate(rows_D),
+          jnp.concatenate(rows_aref),
+          jnp.concatenate(rows_act),
+          jnp.concatenate(rows_pos))
 
 
 def compaction_slot_pools(stat: ModelStatic):
@@ -481,18 +680,32 @@ def make_efc(m: Model, d: Data):
       c_aref = c_aref.at[rows].set(aref_rows)
       c_active = c_active.at[rows].set(jnp.repeat(act[sl], k_rows))
 
+  # ---- equality rows (bilateral), MuJoCo order: ahead of everything ----
+  if lay.ne:
+    e_J, e_D, e_aref, e_active, e_pos = equality_block(
+        m, d, ts, refsafe, dtype)
+  else:
+    e_J = jnp.zeros((1, nv), dtype)
+    e_D = jnp.zeros(1, dtype)
+    e_aref = jnp.zeros(1, dtype)
+    e_active = jnp.zeros(1, bool)
+    e_pos = jnp.zeros(1, dtype)
+
   if s.disableflags & DisableBit.CONSTRAINT:
     f_active = jnp.zeros_like(f_active)
     l_active = jnp.zeros_like(l_active)
     c_active = jnp.zeros_like(c_active)
+    e_active = jnp.zeros_like(e_active)
 
   f_D = jnp.where(f_active, f_D, 0.0)
   l_D = jnp.where(l_active, l_D, 0.0)
   c_D = jnp.where(c_active, c_D, 0.0)
+  e_D = jnp.where(e_active, e_D, 0.0)
   return dict(
       f_D=f_D, f_aref=f_aref, f_floss=f_floss, f_active=f_active,
       l_sign=l_sign, l_D=l_D, l_aref=l_aref, l_active=l_active, l_pos=l_pos,
-      c_J=c_J, c_D=c_D, c_aref=c_aref, c_active=c_active, c_pos=c_pos)
+      c_J=c_J, c_D=c_D, c_aref=c_aref, c_active=c_active, c_pos=c_pos,
+      e_J=e_J, e_D=e_D, e_aref=e_aref, e_active=e_active, e_pos=e_pos)
 
 
 def limit_dofadr(stat: ModelStatic) -> np.ndarray:
@@ -504,27 +717,42 @@ def limit_dofadr(stat: ModelStatic) -> np.ndarray:
 
 
 def densify_efc(stat: ModelStatic, efc: dict) -> dict:
-  """Flat (nefc, ...) views in [friction | limit | contact] row order —
-  for tests/debugging parity with MuJoCo's efc_* arrays."""
+  """Flat (nefc, ...) views in MuJoCo row order
+  [equality | friction | limit | contact] — for tests/debugging parity
+  with mjData.efc_* arrays."""
   lay = efc_layout(stat)
-  nv, nl, ncr = lay.nf, lay.nl, lay.ncr
+  ne, nv, nl, ncr = lay.ne, lay.nf, lay.nl, lay.ncr
   ldof = limit_dofadr(stat)
   dtype = efc['c_J'].dtype
   J = jnp.zeros((lay.nefc, nv), dtype)
-  J = J.at[jnp.arange(nv), jnp.arange(nv)].set(1.0)
+  if ne:
+    J = J.at[:ne].set(efc['e_J'][:ne])
+  J = J.at[ne + jnp.arange(nv), jnp.arange(nv)].set(1.0)
   if nl:
-    J = J.at[nv + jnp.arange(nl), ldof].set(efc['l_sign'])
+    J = J.at[ne + nv + jnp.arange(nl), ldof].set(efc['l_sign'])
   if ncr:
-    J = J.at[nv + nl:].set(efc['c_J'][:ncr])
-  cat = lambda f, l, c: jnp.concatenate(
-      [f, l[:nl], c[:ncr]] if ncr else [f, l[:nl]], axis=0)
+    J = J.at[ne + nv + nl:].set(efc['c_J'][:ncr])
+
+  def cat(e, f, l, c):
+    parts = []
+    if ne:
+      parts.append(e[:ne])
+    parts.append(f)
+    parts.append(l[:nl])
+    if ncr:
+      parts.append(c[:ncr])
+    return jnp.concatenate(parts, axis=0)
+
   z = jnp.zeros(max(nl, 1), dtype)
+  ez = jnp.zeros_like(efc['e_D'])
   return dict(
       J=J,
-      D=cat(efc['f_D'], efc['l_D'], efc['c_D']),
-      aref=cat(efc['f_aref'], efc['l_aref'], efc['c_aref']),
-      frictionloss=cat(efc['f_floss'], z, jnp.zeros_like(efc['c_D'])),
-      active=cat(efc['f_active'], efc['l_active'], efc['c_active']),
-      oneside=cat(jnp.zeros(nv, bool), jnp.ones(max(nl, 1), bool),
-                  jnp.ones_like(efc['c_active'])),
-      pos=cat(jnp.zeros(nv, dtype), efc['l_pos'], efc['c_pos']))
+      D=cat(efc['e_D'], efc['f_D'], efc['l_D'], efc['c_D']),
+      aref=cat(efc['e_aref'], efc['f_aref'], efc['l_aref'], efc['c_aref']),
+      frictionloss=cat(ez, efc['f_floss'], z, jnp.zeros_like(efc['c_D'])),
+      active=cat(efc['e_active'], efc['f_active'], efc['l_active'],
+                 efc['c_active']),
+      oneside=cat(jnp.zeros_like(efc['e_active']), jnp.zeros(nv, bool),
+                  jnp.ones(max(nl, 1), bool), jnp.ones_like(efc['c_active'])),
+      pos=cat(efc['e_pos'], jnp.zeros(nv, dtype), efc['l_pos'],
+              efc['c_pos']))

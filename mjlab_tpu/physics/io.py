@@ -203,8 +203,13 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32,
   (runtime top-K compaction over the static pair table). None = auto:
   no compaction for small pair tables, 64 when the table is larger
   (self-collision models). 0 forces no compaction."""
-  if m.neq:
-    raise NotImplementedError('equality constraints not yet supported')
+  for e in range(m.neq):
+    if m.eq_type[e] not in (int(mujoco.mjtEq.mjEQ_CONNECT),
+                            int(mujoco.mjtEq.mjEQ_WELD),
+                            int(mujoco.mjtEq.mjEQ_JOINT)):
+      raise NotImplementedError(
+          f'equality type {m.eq_type[e]} unsupported (connect/weld/joint '
+          'are implemented)')
   if m.ntendon:
     raise NotImplementedError('tendons not yet supported')
   if m.nmocap:
@@ -344,6 +349,10 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32,
       hfield_geomid=hf_geomid,
       ncon_cap=ncon_cap,
       ncon_cap1=ncon_cap1,
+      neq=int(m.neq),
+      eq_type=m.eq_type.copy().astype(np.int32),
+      eq_obj1=m.eq_obj1id.copy().astype(np.int32),
+      eq_obj2=m.eq_obj2id.copy().astype(np.int32),
   )
 
   # Convert on the host and ship the whole pytree with ONE device_put at
@@ -404,13 +413,20 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32,
       actuator_ctrlrange=a(m.actuator_ctrlrange),
       actuator_forcerange=a(m.actuator_forcerange),
       hfield_data=a(hf_data),
+      eq_data=a(m.eq_data if m.neq else np.zeros((1, 11))),
+      eq_solref=a(m.eq_solref if m.neq else np.zeros((1, 2))),
+      eq_solimp=a(m.eq_solimp if m.neq else np.zeros((1, 5))),
+      eq_active0=a(m.eq_active0.astype(np.float64) if m.neq
+                   else np.zeros(1)),
   )
   return jax.device_put(model)
 
 
 def nefc_max(stat: ModelStatic) -> int:
-  """Static constraint row capacity: friction + limits + contact rows."""
-  nfric = int(stat.nv)
+  """Static constraint row capacity:
+  equality + friction + limits + contact rows."""
+  from mjlab_tpu.physics.constraint import equality_rows_count
+  nfric = int(stat.nv) + equality_rows_count(stat)
   nlimit = int(stat.jnt_limited.sum())
   if stat.ncon_cap or stat.ncon_cap1:
     # compacted: pyramidal rows for the frictional pool + one normal row

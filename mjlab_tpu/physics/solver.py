@@ -47,9 +47,11 @@ _EPS = 1e-15
 # ---------------------------------------------------------------------------
 
 
-def _forces_oneside(jar, D, active):
-  f = jnp.where((jar < 0) & active, -D * jar, 0.0)
+def _forces_oneside(jar, D, active, bilateral=None):
   quad = (jar < 0) & active
+  if bilateral is not None:
+    quad = quad | (bilateral & active)
+  f = jnp.where(quad, -D * jar, 0.0)
   return f, quad
 
 
@@ -60,8 +62,11 @@ def _forces_friction(jar, D, floss, active):
   return f, quad
 
 
-def _cost_oneside(jar, D, active):
-  return jnp.sum(jnp.where((jar < 0) & active, 0.5 * D * jar * jar, 0.0))
+def _cost_oneside(jar, D, active, bilateral=None):
+  quad = (jar < 0) & active
+  if bilateral is not None:
+    quad = quad | (bilateral & active)
+  return jnp.sum(jnp.where(quad, 0.5 * D * jar * jar, 0.0))
 
 
 def _cost_friction(jar, D, floss, active):
@@ -74,12 +79,14 @@ def _cost_friction(jar, D, floss, active):
 
 def _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
                 l_act, f_aref, fD, floss, f_act, iterations, ls_polish,
-                ldof):
+                ldof, ne=0):
   """Single-env structured Newton solve ->
   (qacc, f_friction (nv,), f_limit (nl,), f_contact (ncr,)).
   Pure jax.numpy path (float64 CPU oracle tests + custom_vmap fallback).
   """
   ldof = jnp.asarray(ldof)
+  # first `ne` dense rows are bilateral equality rows (no one-sided clamp)
+  bilat = jnp.arange(cJ.shape[0]) < ne
 
   def jars_of(x):
     return (x - f_aref,
@@ -90,7 +97,7 @@ def _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
     jf, jl, jc = jars
     ff, qf = _forces_friction(jf, fD, floss, f_act)
     fl, ql = _forces_oneside(jl, lD, l_act)
-    fc, qc = _forces_oneside(jc, cD, c_act)
+    fc, qc = _forces_oneside(jc, cD, c_act, bilat)
     return (ff, fl, fc), (qf, ql, qc)
 
   def cost_of(x):
@@ -99,7 +106,7 @@ def _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
     return (0.5 * dx @ (M @ dx)
             + _cost_friction(jf, fD, floss, f_act)
             + _cost_oneside(jl, lD, l_act)
-            + _cost_oneside(jc, cD, c_act))
+            + _cost_oneside(jc, cD, c_act, bilat))
 
   def jt_apply(ff, fl, fc):
     """J^T f with the structured blocks."""
@@ -178,7 +185,7 @@ def _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
 
 
 @functools.lru_cache(maxsize=None)
-def _newton_fn(iterations: int, ls_polish: int, ldof: tuple):
+def _newton_fn(iterations: int, ls_polish: int, ldof: tuple, ne: int = 0):
   """custom_vmap Newton solve: the vmapped TPU path can run the whole
   solver as one Pallas kernel (MJLAB_NEWTON_KERNEL=1); by default the
   vmapped jax path runs with the fused Pallas Cholesky solve."""
@@ -189,7 +196,7 @@ def _newton_fn(iterations: int, ls_polish: int, ldof: tuple):
          f_aref, fD, floss, f_act):
     return _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref,
                        lD, l_act, f_aref, fD, floss, f_act, iterations,
-                       ls_polish, ldof_np)
+                       ls_polish, ldof_np, ne)
 
   @fn.def_vmap
   def _rule(axis_size, in_batched, *args):  # noqa: ANN001
@@ -199,7 +206,7 @@ def _newton_fn(iterations: int, ls_polish: int, ldof: tuple):
     M = args[0]
     cJ = args[3]
     if (M.ndim == 3 and jax.default_backend() == 'tpu'
-        and M.dtype == jnp.float32 and _MEGA_KERNEL
+        and M.dtype == jnp.float32 and _MEGA_KERNEL and ne == 0
         and M.shape[0] >= 256
         and _kernel_vmem_bytes(M.shape[-1], cJ.shape[1]) < 11 * 2 ** 20):
       from mjlab_tpu.ops.newton import newton_solve_tpu
@@ -207,7 +214,8 @@ def _newton_fn(iterations: int, ls_polish: int, ldof: tuple):
                              ls_polish=ls_polish, ldof=ldof)
     else:
       out = jax.vmap(
-          lambda *a: _newton_jax(*a, iterations, ls_polish, ldof_np))(*args)
+          lambda *a: _newton_jax(*a, iterations, ls_polish, ldof_np,
+                                 ne))(*args)
     return out, (True, True, True, True)
 
   return fn
@@ -231,19 +239,29 @@ def solve(m: Model, d: Data, efc) -> Data:
   # config (ls_iterations=20) keeps the round-1 default of 2 polish
   # steps; larger budgets (oracle tests use 50) polish further.
   ls_polish = max(1, min((int(s.ls_iterations) - 10) // 4, 6))
-  fn = _newton_fn(int(s.iterations), ls_polish, ldof)
+  lay = _constraint.efc_layout(s)
+  ne = lay.ne
+  if ne:
+    # bilateral equality rows join the dense block at the FRONT
+    cJ = jnp.concatenate([efc['e_J'], efc['c_J']], axis=0)
+    c_aref = jnp.concatenate([efc['e_aref'], efc['c_aref']])
+    c_D = jnp.concatenate([efc['e_D'], efc['c_D']])
+    c_act = jnp.concatenate([efc['e_active'], efc['c_active']])
+  else:
+    cJ, c_aref, c_D, c_act = (efc['c_J'], efc['c_aref'], efc['c_D'],
+                              efc['c_active'])
+  fn = _newton_fn(int(s.iterations), ls_polish, ldof, ne)
   x, ff, fl, fc = fn(
       d.qM, d.qacc_smooth, d.qacc_warmstart,
-      efc['c_J'], efc['c_aref'], efc['c_D'], efc['c_active'],
+      cJ, c_aref, c_D, c_act,
       efc['l_sign'], efc['l_aref'], efc['l_D'], efc['l_active'],
       efc['f_aref'], efc['f_D'], efc['f_floss'], efc['f_active'])
-  qfrc_constraint = (ff + efc['c_J'].T @ fc).at[
+  qfrc_constraint = (ff + cJ.T @ fc).at[
       jnp.asarray(ldof)].add(efc['l_sign'] * fl)
-  lay = _constraint.efc_layout(s)
-  # dense efc_force in [friction | limit | contact] row order
-  efc_force = jnp.concatenate(
-      [ff, fl[:lay.nl], fc[:lay.ncr]], axis=0) if lay.ncr else \
-      jnp.concatenate([ff, fl[:lay.nl]], axis=0)
+  # dense efc_force in MuJoCo row order [equality|friction|limit|contact]
+  parts = ([fc[:ne], ff, fl[:lay.nl], fc[ne:ne + lay.ncr]] if ne
+           else [ff, fl[:lay.nl], fc[:lay.ncr]])
+  efc_force = jnp.concatenate([p for p in parts if p.shape[0]], axis=0)
   return d.replace(
       qacc=x,
       qfrc_constraint=qfrc_constraint,

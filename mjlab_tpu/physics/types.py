@@ -250,6 +250,13 @@ class ModelStatic(StaticBase):
   ncon_cap: int = 0
   ncon_cap1: int = 0
 
+  # equality constraints (connect/weld/joint); rows are assembled ahead
+  # of friction/limit/contact in MuJoCo's efc order
+  neq: int = 0
+  eq_type: np.ndarray = None  # (neq,) mjtEq codes
+  eq_obj1: np.ndarray = None  # (neq,) body or joint id
+  eq_obj2: np.ndarray = None
+
 
 @struct.dataclass
 class Option:
@@ -318,6 +325,12 @@ class Model:
   # (1, 1) zeros when the model has no hfield. A pytree leaf (not a baked
   # constant) so large terrains don't bloat the compiled executable.
   hfield_data: jax.Array = None
+
+  # equality constraints ((1,…)-shaped placeholders when neq == 0)
+  eq_data: jax.Array = None     # (neq, 11)
+  eq_solref: jax.Array = None   # (neq, 2)
+  eq_solimp: jax.Array = None   # (neq, 5)
+  eq_active0: jax.Array = None  # (neq,) float 0/1
 
 
 @struct.dataclass
