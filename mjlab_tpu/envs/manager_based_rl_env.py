@@ -218,8 +218,8 @@ class ManagerBasedRlEnv:
     # reset events (may touch data and per-env model fields)
     ctx = dataclasses.replace(
         ctx, data=data, state=state.replace(command=cmd_state))
-    data, model = self.event_manager.apply_reset(
-        ctx, data, state.model, mask, k_ev, state.common_step)
+    data, model, ev_state = self.event_manager.apply_reset(
+        ctx, data, state.model, state.event, mask, k_ev, state.common_step)
 
     # observation buffers
     obs_state = self.observation_manager.reset(state.obs, mask, k_obs)
@@ -247,7 +247,7 @@ class ManagerBasedRlEnv:
 
     state = state.replace(
         model=model, data=data, command=cmd_state, obs=obs_state,
-        curriculum=curr_state, reward_sums=reward_sums,
+        event=ev_state, curriculum=curr_state, reward_sums=reward_sums,
         episode_length=episode_length, actions=actions,
         prev_actions=prev_actions, reward=rew_state)
     return state, extras

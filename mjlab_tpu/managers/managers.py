@@ -381,6 +381,12 @@ class EventManager:
       shape = () if tcfg.is_global_time else (self.num_envs,)
       st[f'{name}/time_left'] = jax.random.uniform(
           sub, shape, minval=lo, maxval=hi)
+    for name, (tcfg, _) in self.reset_terms.items():
+      if tcfg.min_step_count_between_reset > 0:
+        # per-env step of the last trigger; -1 = never triggered
+        # (reference event_manager.py:139-165 per-env trigger counts)
+        st[f'{name}/last_trigger'] = jnp.full(
+            (self.num_envs,), -1, jnp.int32)
     return st
 
   def apply_startup(self, model, data, key: jax.Array):
@@ -394,20 +400,27 @@ class EventManager:
                          **params)
     return model, data
 
-  def apply_reset(self, ctx, data, model, mask: jax.Array, key: jax.Array,
-                  common_step: jax.Array):
+  def apply_reset(self, ctx, data, model, state: dict, mask: jax.Array,
+                  key: jax.Array, common_step: jax.Array):
+    state = dict(state)
     for name, (tcfg, params) in self.reset_terms.items():
       key, sub = jax.random.split(key)
       m = mask
       if tcfg.min_step_count_between_reset > 0:
-        # global step gating (approximation of per-env trigger counts)
-        ok = common_step >= tcfg.min_step_count_between_reset
+        # per-env trigger gating (reference event_manager.py:139-165):
+        # fire on the first reset, then only after min_step_count more
+        # global steps have elapsed for THAT env
+        last = state[f'{name}/last_trigger']
+        ok = (last < 0) | (common_step - last
+                           >= tcfg.min_step_count_between_reset)
         m = mask & ok
+        state[f'{name}/last_trigger'] = jnp.where(
+            m, common_step.astype(jnp.int32), last)
       if getattr(tcfg.func, 'is_model_event', False):
         model = tcfg.func(model, self.scene, sub, m, **params)
       else:
         data = tcfg.func(ctx, data, m, sub, **params)
-    return data, model
+    return data, model, state
 
   def apply_interval(self, ctx, data, state: dict, key: jax.Array):
     new_state = dict(state)

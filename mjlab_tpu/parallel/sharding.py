@@ -58,5 +58,8 @@ def enable_sharding(train_state: Any, num_envs: int,
   mesh = make_mesh(n_devices)
   assert_divisible(num_envs, mesh)
   ts = shard_batched(train_state, mesh, num_envs)
-  jax.set_mesh(mesh)
-  return mesh, ts
+  # plain call sets the mesh process-globally; the returned handle is a
+  # context manager whose __exit__ restores the previous mesh (used by
+  # tests; the train CLI keeps the mesh for the process lifetime)
+  restore = jax.set_mesh(mesh)
+  return mesh, ts, restore

@@ -97,7 +97,9 @@ class RunningNorm:
 
   def update(self, batch: jax.Array) -> 'RunningNorm':
     """batch: (..., dim), flattened over leading axes."""
-    x = batch.reshape(-1, batch.shape[-1])
+    # keep the normalizer's dtype regardless of input promotion (x64
+    # test configs would otherwise widen the train-state pytree)
+    x = batch.reshape(-1, batch.shape[-1]).astype(self.mean.dtype)
     bmean = jnp.mean(x, axis=0)
     bvar = jnp.var(x, axis=0)
     bcount = x.shape[0]

@@ -151,6 +151,11 @@ class PPO:
       logprob = gaussian_logprob(mean, std, action)
       env_state, (next_obs, reward, terminated, truncated, extras) = \
           self._step_fn(env_state, action)
+      # pin learner-visible dtypes: under x64 configs parts of the env
+      # output widen to f64, which would break the scan carry contract
+      f32c = lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a
+      next_obs = jax.tree.map(f32c, next_obs)
+      reward = f32c(reward)
       done = terminated | truncated
       # episode stats
       reward_acc = reward_acc + reward
@@ -173,7 +178,9 @@ class PPO:
 
     n = self.env.num_envs
     f32 = jnp.float32
-    carry0 = (ts.env_state, ts.obs, ts.rng, ts.actor_norm, ts.critic_norm,
+    obs0 = jax.tree.map(
+        lambda a: a.astype(f32) if a.dtype == jnp.float64 else a, ts.obs)
+    carry0 = (ts.env_state, obs0, ts.rng, ts.actor_norm, ts.critic_norm,
               jnp.zeros(n, f32), jnp.zeros(n, jnp.int32),
               jnp.zeros((), f32), jnp.zeros((), f32), jnp.zeros((), f32))
     carry, ys = jax.lax.scan(

@@ -23,6 +23,12 @@ def main(argv=None):
   parser.add_argument('--steps', type=int, default=300)
   parser.add_argument('--render', default=None,
                       help='write an mp4 rollout video to this path')
+  parser.add_argument('--render-env', type=int, default=0,
+                      help='env index to render (or first tile with --tile)')
+  parser.add_argument('--tile', type=int, default=1,
+                      help='render a side-by-side tiling of this many envs')
+  parser.add_argument('--camera', default=None,
+                      help='model camera name for --render (e.g. tracking)')
   parser.add_argument('--viewer', action='store_true')
   args, overrides = parser.parse_known_args(argv)
 
@@ -56,19 +62,31 @@ def main(argv=None):
 
   obs, _ = env.reset()
   rews = []
+  resets = 0
+  ep_lengths = []
   qpos_hist = []
+  render_ids = list(range(args.render_env,
+                          args.render_env + args.tile))
   for t in range(args.steps):
     action = policy(obs)
     obs, rew, term, trunc, extras = env.step(action)
     rews.append(np.asarray(rew))
+    done = np.asarray(term) | np.asarray(trunc)
+    resets += int(done.sum())
+    if 'episode_length_sum' in extras and done.any():
+      ep_lengths.append(float(np.asarray(extras['episode_length_sum']))
+                        / max(int(done.sum()), 1))
     if args.render:
-      qpos_hist.append(np.asarray(env.state.data.qpos[0]))
+      qpos_hist.append(np.asarray(env.state.data.qpos[render_ids]))
+  ep_msg = (f', mean episode length: {np.mean(ep_lengths):.1f}'
+            if ep_lengths else '')
   print(f'[play] {args.steps} steps, mean reward/step: '
-        f'{np.mean(rews):.4f}, resets: n/a')
+        f'{np.mean(rews):.4f}, resets: {resets}{ep_msg}')
 
   if args.render:
     from mjlab_tpu.viewer.offscreen import render_trajectory
-    render_trajectory(env, np.stack(qpos_hist), args.render)
+    traj = np.stack(qpos_hist)  # (T, tile, nq)
+    render_trajectory(env, traj, args.render, camera=args.camera or -1)
     print(f'[play] wrote {args.render}')
   if args.viewer:
     # native GUI when a display exists, else viser web viewer

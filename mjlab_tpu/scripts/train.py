@@ -74,7 +74,7 @@ def main(argv=None):
   runner = make_runner(env, agent_cfg, log_dir=log_dir, step_fn=step_fn)
   if args.shard:
     from mjlab_tpu.parallel.sharding import enable_sharding
-    mesh, runner.ts = enable_sharding(runner.ts, env.num_envs)
+    mesh, runner.ts, _ = enable_sharding(runner.ts, env.num_envs)
     print(f'[train] sharding {env.num_envs} envs over '
           f'{mesh.shape["env"]} devices')
   if args.resume or agent_cfg.resume:
