@@ -212,8 +212,7 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32,
           'are implemented)')
   if m.ntendon:
     raise NotImplementedError('tendons not yet supported')
-  if m.nmocap:
-    raise NotImplementedError('mocap bodies not yet supported')
+
   for j in range(m.njnt):
     if m.jnt_type[j] not in (int(mujoco.mjtJoint.mjJNT_FREE),
                              int(mujoco.mjtJoint.mjJNT_HINGE),
@@ -349,6 +348,8 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32,
       hfield_geomid=hf_geomid,
       ncon_cap=ncon_cap,
       ncon_cap1=ncon_cap1,
+      nmocap=int(m.nmocap),
+      body_mocapid=m.body_mocapid.copy().astype(np.int32),
       neq=int(m.neq),
       eq_type=m.eq_type.copy().astype(np.int32),
       eq_obj1=m.eq_obj1id.copy().astype(np.int32),
@@ -473,6 +474,14 @@ def make_data(model: Model, dtype=jnp.float32) -> Data:
       time=jnp.zeros((), dtype=dtype),
       xfrc_applied=z(s.nbody, 6),
       qfrc_applied=z(s.nv),
+      # mocap poses start at the bodies' model pose (mj_resetData parity);
+      # static index gather so this traces inside jit
+      mocap_pos=(model.body_pos[np.nonzero(s.body_mocapid >= 0)[0]]
+                 .astype(dtype) if s.nmocap
+                 else jnp.zeros((1, 3), dtype)),
+      mocap_quat=(model.body_quat[np.nonzero(s.body_mocapid >= 0)[0]]
+                  .astype(dtype) if s.nmocap
+                  else jnp.asarray([[1.0, 0, 0, 0]], dtype)),
       xpos=z(s.nbody, 3),
       xquat=z(s.nbody, 4).at[:, 0].set(1.0),
       xmat=jnp.tile(jnp.eye(3, dtype=dtype), (s.nbody, 1, 1)),

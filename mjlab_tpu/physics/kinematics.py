@@ -37,6 +37,15 @@ def kinematics(m: Model, d: Data) -> Data:
     pos = p_pos + pmath.rot_vec_quat(m.body_pos[ids], p_quat)
     quat = pmath.mul_quat(p_quat, m.body_quat[ids])
 
+    # mocap bodies take their pose from data.mocap_pos/quat (settable
+    # from the host, mj_kinematics parity)
+    if s.nmocap:
+      msel = np.nonzero(s.body_mocapid[ids] >= 0)[0]
+      if len(msel):
+        mid = s.body_mocapid[ids][msel]
+        pos = pos.at[msel].set(d.mocap_pos[mid])
+        quat = quat.at[msel].set(pmath.normalize_quat(d.mocap_quat[mid]))
+
     max_jnt = int(s.body_jntnum[ids].max()) if len(ids) else 0
     for k in range(max_jnt):
       has = s.body_jntnum[ids] > k

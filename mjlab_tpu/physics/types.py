@@ -250,6 +250,11 @@ class ModelStatic(StaticBase):
   ncon_cap: int = 0
   ncon_cap1: int = 0
 
+  # mocap bodies: world-attached bodies whose pose is set from the host
+  # via data.mocap_pos/quat (mj_kinematics parity)
+  nmocap: int = 0
+  body_mocapid: np.ndarray = None  # (nbody,) -1 for non-mocap
+
   # equality constraints (connect/weld/joint); rows are assembled ahead
   # of friction/limit/contact in MuJoCo's efc order
   neq: int = 0
@@ -402,3 +407,8 @@ class Data:
 
   # sensors
   sensordata: jax.Array
+
+  # mocap poses, (nmocap, 3)/(nmocap, 4); (1, .) placeholders when the
+  # model has no mocap bodies (set from the host, consumed by kinematics)
+  mocap_pos: jax.Array = None
+  mocap_quat: jax.Array = None

@@ -155,3 +155,70 @@ def test_unsupported_equality_raises():
   mj = mujoco.MjModel.from_xml_string(xml)
   with pytest.raises(NotImplementedError):
     io.put_model(mj)
+
+
+MOCAP_WELD_XML = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <body name="target" mocap="true" pos="0.3 0.1 1.2">
+      <geom type="sphere" size="0.03" contype="0" conaffinity="0"/>
+    </body>
+    <body name="box" pos="0.3 0.1 1.0">
+      <joint type="free"/>
+      <geom type="box" size=".06 .04 .04" mass="0.4"/>
+    </body>
+  </worldbody>
+  <equality>
+    <weld body1="target" body2="box" torquescale="1.0"/>
+  </equality>
+</mujoco>"""
+
+
+def test_mocap_weld_target_parity():
+  """Mocap body driving a welded floating box (the interactive-target
+  pattern): trajectory parity while the mocap pose is moved."""
+  mj, model = _make(MOCAP_WELD_XML)
+  md = mujoco.MjData(mj)
+  d = io.make_data(model, dtype=jnp.float64)
+  jstep = jax.jit(step)
+  for t in range(200):
+    target = np.asarray([0.3 + 0.2 * np.sin(0.02 * t),
+                         0.1, 1.2 + 0.1 * np.cos(0.02 * t)])
+    md.mocap_pos[0] = target
+    mujoco.mj_step(mj, md)
+    d = d.replace(mocap_pos=jnp.asarray(target)[None])
+    d = jstep(model, d)
+  np.testing.assert_allclose(np.asarray(d.qpos), md.qpos, atol=1e-8)
+  # the box actually tracked the moving target (soft weld lags a little)
+  assert abs(float(d.qpos[0]) - (0.3 + 0.2 * np.sin(0.02 * 199))) < 0.12
+
+
+def test_mocap_kinematics_parity():
+  """Mocap body pose flows from data.mocap_pos/quat into FK."""
+  xml = """
+<mujoco>
+  <worldbody>
+    <body name="m" mocap="true" pos="0.5 0.2 1.0">
+      <geom type="sphere" size="0.03" contype="0" conaffinity="0"/>
+      <site name="tip" pos="0.1 0 0"/>
+    </body>
+    <body pos="0 0 1"><freejoint/><geom type="sphere" size="0.1" mass="1"/></body>
+    <geom type="plane" size="5 5 .1"/>
+  </worldbody>
+</mujoco>"""
+  mj, model = _make(xml)
+  md = mujoco.MjData(mj)
+  md.mocap_pos[0] = [1.0, -0.5, 2.0]
+  md.mocap_quat[0] = [0.7071068, 0.7071068, 0, 0]
+  mujoco.mj_forward(mj, md)
+  from mjlab_tpu.physics import kinematics
+  d = io.make_data(model, dtype=jnp.float64)
+  d = d.replace(mocap_pos=jnp.asarray(md.mocap_pos.copy()),
+                mocap_quat=jnp.asarray(md.mocap_quat.copy()))
+  d = kinematics.kinematics(model, d)
+  bid = mujoco.mj_name2id(mj, mujoco.mjtObj.mjOBJ_BODY, 'm')
+  np.testing.assert_allclose(np.asarray(d.xpos[bid]), md.xpos[bid],
+                             atol=1e-12)
+  np.testing.assert_allclose(np.asarray(d.xquat[bid]), md.xquat[bid],
+                             atol=1e-9)

@@ -102,3 +102,72 @@ def test_interval_event_clocks(env):
   tl1 = np.asarray(state.event['push_robot/time_left'])
   # clocks count down (or resampled upward on expiry)
   assert (tl1 < tl0 + 1e-6).any()
+
+def test_randomize_field_operation_matrix(env):
+  """All distribution x operation combinations behave per spec
+  (reference tests/test_domain_randomization.py:73-166)."""
+  import jax
+  from mjlab_tpu.envs import mdp
+  from mjlab_tpu.managers.term_cfg import SceneEntityCfg
+
+  from mjlab_tpu.sim.sim import expand_model_fields
+  model = expand_model_fields(
+      env.model, ['dof_damping', 'dof_armature', 'body_mass'],
+      env.num_envs)
+  base = np.asarray(model.dof_damping)
+  mask = jnp.ones(env.num_envs, bool)
+  cfg = SceneEntityCfg('robot', joint_names=['.*'])
+  key = jax.random.PRNGKey(3)
+
+  # abs + uniform: values land inside the range
+  m1 = mdp.randomize_field(model, env.scene, key, mask,
+                           field='dof_damping', ranges=(0.5, 1.5),
+                           distribution='uniform', operation='abs',
+                           asset_cfg=cfg)
+  view = env.scene['robot']
+  cols = np.asarray(view.idx.v_adr)
+  vals = np.asarray(m1.dof_damping)[:, cols]
+  assert (vals >= 0.5 - 1e-6).all() and (vals <= 1.5 + 1e-6).all()
+  assert np.std(vals) > 1e-3
+
+  # scale + uniform: multiplicative around the compiled value (armature
+  # is positive for the Go1's geared motors; damping compiles to 0)
+  base_arm = np.asarray(model.dof_armature)
+  m2 = mdp.randomize_field(model, env.scene, key, mask,
+                           field='dof_armature', ranges=(0.9, 1.1),
+                           distribution='uniform', operation='scale',
+                           asset_cfg=cfg)
+  ratio = np.asarray(m2.dof_armature)[:, cols] / np.maximum(
+      base_arm[:, cols], 1e-12)
+  assert (ratio >= 0.9 - 1e-5).all() and (ratio <= 1.1 + 1e-5).all()
+
+  # add + gaussian: mean shift, finite spread
+  m3 = mdp.randomize_field(model, env.scene, key, mask,
+                           field='dof_armature', ranges=(0.2, 0.01),
+                           distribution='gaussian', operation='add',
+                           asset_cfg=cfg)
+  delta = np.asarray(m3.dof_armature)[:, cols] - base_arm[:, cols]
+  assert abs(delta.mean() - 0.2) < 0.05
+  assert 0.001 < delta.std() < 0.05
+
+  # log_uniform + scale on body_mass: positive multipliers in range
+  bcfg = SceneEntityCfg('robot', body_names=['trunk'])
+  m4 = mdp.randomize_field(model, env.scene, key, mask,
+                           field='body_mass', ranges=(0.5, 2.0),
+                           distribution='log_uniform', operation='scale',
+                           asset_cfg=bcfg)
+  bid = view.idx.body_ids[list(view.idx.body_names).index('trunk')]
+  r = np.asarray(m4.body_mass)[:, bid] / np.asarray(model.body_mass)[:, bid]
+  assert (r >= 0.5 - 1e-5).all() and (r <= 2.0 + 1e-5).all()
+  assert np.std(np.log(r)) > 0.05  # log-space spread
+
+  # masked envs keep their values
+  half = jnp.arange(env.num_envs) < env.num_envs // 2
+  m5 = mdp.randomize_field(model, env.scene, key, half,
+                           field='dof_damping', ranges=(5.0, 6.0),
+                           distribution='uniform', operation='abs',
+                           asset_cfg=cfg)
+  out = np.asarray(m5.dof_damping)[:, cols]
+  nh = env.num_envs // 2
+  assert (out[:nh] >= 5.0 - 1e-6).all()
+  np.testing.assert_allclose(out[nh:], base[nh:, cols])
