@@ -65,6 +65,17 @@ class EfcLayout:
     return self.nefc - self.ne - self.nf - self.nl
 
 
+def elliptic_dmax(stat: ModelStatic) -> int:
+  """Max condim over frictional contact slots when the model uses the
+  elliptic friction cone; 0 for pyramidal models or no frictional slots.
+  Nonzero => make_efc emits the structured elliptic x_* block."""
+  if stat.cone != 1 or not stat.pairs.ncon_max:
+    return 0
+  dims = np.asarray(stat.con_dim[:stat.pairs.ncon_max])
+  dm = int(dims.max()) if len(dims) else 0
+  return dm if dm > 1 else 0
+
+
 @functools.lru_cache(maxsize=32)
 def efc_layout(stat: ModelStatic) -> EfcLayout:
   ne = equality_rows_count(stat)
@@ -79,7 +90,8 @@ def efc_layout(stat: ModelStatic) -> EfcLayout:
     # frictional condim), then ncon_cap1 frictionless slots with one
     # normal row each
     k3, k1 = stat.ncon_cap, stat.ncon_cap1
-    k_rows = 2 * max(int(stat.con_dim.max()) - 1, 1)
+    dm = elliptic_dmax(stat)
+    k_rows = dm if dm else 2 * max(int(stat.con_dim.max()) - 1, 1)
     base0 = limit_base + len(limit_jnt)
     con_base = np.concatenate([
         base0 + k_rows * np.arange(k3, dtype=np.int32),
@@ -105,9 +117,11 @@ def efc_layout(stat: ModelStatic) -> EfcLayout:
         condim = max(stat.geom_condim[g1], stat.geom_condim[g2])
       sl = slice(base + i * npts, base + (i + 1) * npts)
       dims[sl] = condim
+  ell = stat.cone == 1
   for c in range(stat.pairs.ncon_max):
     con_base[c] = row
-    con_rows[c] = 1 if dims[c] == 1 else 2 * (dims[c] - 1)
+    con_rows[c] = (1 if dims[c] == 1
+                   else (dims[c] if ell else 2 * (dims[c] - 1)))
     row += con_rows[c]
   return EfcLayout(nefc=row, ne=ne, nf=nf, limit_jnt=limit_jnt,
                    limit_base=limit_base, con_base=con_base,
@@ -337,6 +351,85 @@ def equality_block(m: Model, d: Data, ts, refsafe, dtype):
           jnp.concatenate(rows_pos))
 
 
+def _elliptic_block(p, jt_f, jr_f, vel_t, vel_r, friction, solref, solimp,
+                    invw, dim, impratio, ts, refsafe, DM, dtype):
+  """Structured elliptic contact block (one entry per frictional contact).
+
+  MuJoCo's elliptic-cone constraint model, extracted empirically from
+  mj_constraintUpdate and verified to ~1e-13 (scratch/probe_elliptic*.py,
+  tests/test_elliptic.py): regularized cone coefficient
+  mu = friction[0]/sqrt(impratio); friction-row regularizer
+  D_j = D_normal * impratio * (friction_j/friction_0)^2; friction-row
+  aref = -b*vel_j (pos = 0); normal row as in the pyramidal case.
+
+  Returns dict of:
+    x_J    (NX, DM, nv) row jacobians [normal, t1, t2, torsional, r1, r2]
+    x_D    (NX, DM) per-row D (0 beyond each contact's condim)
+    x_aref (NX, DM)
+    x_mu   (NX,) regularized cone coefficient
+    x_fr   (NX, DM-1) raw friction coefficients (0 beyond condim)
+    x_active (NX,), x_pos (NX,)
+  """
+  NX = p.shape[0]
+  act = p < 0
+  b_c, k_c, imp = _kbi(solref, solimp, p, ts, refsafe)
+  r_n = jnp.maximum((1.0 - imp) / imp * invw, _MINVAL)
+  D_n = 1.0 / r_n
+  A = DM - 1
+  fr = friction[:, :A]
+  real_axis = jnp.arange(A)[None, :] < (dim[:, None] - 1)  # (NX, A)
+  fr = jnp.where(real_axis, fr, 0.0)
+  fr0 = jnp.maximum(friction[:, 0], _MINVAL)
+  mu = fr0 / jnp.sqrt(impratio)
+  D_f = jnp.where(real_axis,
+                  D_n[:, None] * impratio * (fr / fr0[:, None]) ** 2, 0.0)
+  axes = jnp.concatenate([jt_f[:, 1:3], jr_f], axis=1)[:, :A]  # (NX, A, nv)
+  vels = jnp.concatenate([vel_t[:, 1:3], vel_r], axis=1)[:, :A]
+  xJ = jnp.concatenate([jt_f[:, :1], axes], axis=1)  # (NX, DM, nv)
+  aref_n = -b_c * vel_t[:, 0] - k_c * imp * p
+  aref_f = jnp.where(real_axis, -b_c[:, None] * vels, 0.0)
+  x_aref = jnp.concatenate([aref_n[:, None], aref_f], axis=1)
+  x_D = jnp.concatenate([D_n[:, None], D_f], axis=1)
+  x_D = jnp.where(act[:, None], x_D, 0.0)
+  return dict(x_J=xJ, x_D=x_D, x_aref=x_aref, x_mu=mu, x_fr=fr,
+              x_active=act, x_pos=p)
+
+
+def _empty_elliptic(nv, dtype, dm=2):
+  return dict(x_J=jnp.zeros((1, dm, nv), dtype),
+              x_D=jnp.zeros((1, dm), dtype),
+              x_aref=jnp.zeros((1, dm), dtype),
+              x_mu=jnp.zeros(1, dtype),
+              x_fr=jnp.zeros((1, dm - 1), dtype),
+              x_active=jnp.zeros(1, bool),
+              x_pos=jnp.zeros(1, dtype))
+
+
+@functools.lru_cache(maxsize=32)
+def elliptic_row_maps(stat: ModelStatic):
+  """Static dense efc row addresses for the elliptic blocks:
+  (x_rows (NX, DM) with invalid axes mapped to nefc for drop-scatter,
+   c1_rows (NC1,) frictionless slot rows, x_slots, c1_slots)."""
+  lay = efc_layout(stat)
+  DM = elliptic_dmax(stat)
+  if stat.ncon_cap or stat.ncon_cap1:
+    K3, K1 = stat.ncon_cap, stat.ncon_cap1
+    x_rows = (lay.con_base[:K3, None] + np.arange(DM)[None, :]
+              if K3 else np.zeros((0, DM), np.int64))
+    c1_rows = lay.con_base[K3:K3 + K1]
+    slots3, slots1 = compaction_slot_pools(stat)
+    return x_rows, c1_rows, slots3, slots1
+  nc = stat.pairs.ncon_max
+  dims = np.asarray(stat.con_dim[:nc])
+  sl3 = np.nonzero(dims > 1)[0]
+  sl1 = np.nonzero(dims == 1)[0]
+  x_rows = lay.con_base[sl3][:, None] + np.arange(DM)[None, :]
+  # axes beyond a slot's condim have no dense row: map to nefc (dropped)
+  invalid = np.arange(DM)[None, :] >= dims[sl3][:, None]
+  x_rows = np.where(invalid, lay.nefc, x_rows)
+  return x_rows, lay.con_base[sl1], sl3, sl1
+
+
 def compaction_slot_pools(stat: ModelStatic):
   """Static candidate-slot index lists for the two compaction pools:
   frictional (condim>1) and frictionless (condim==1)."""
@@ -470,10 +563,20 @@ def _contacts_compacted(m: Model, d: Data, ts, refsafe, dtype):
   A = max(int(s.con_dim.max()) - 1, 1)
   slots3, slots1 = compaction_slot_pools(s)
   impratio = m.opt.impratio.astype(dtype)
+  ell_dm = elliptic_dmax(s)
+  x_block = None
 
   blocks = []
 
-  if K3:
+  if K3 and ell_dm:
+    (p, pos_w, frame, friction, solref, solimp, croot1, croot2, invw,
+     ancd, dim) = _selected_contact_data(m, d, slots3, K3, dtype)
+    jt_f, jr_f, vel_t, vel_r = _pool_jacobians(
+        d, pos_w, frame, croot1, croot2, ancd, True)
+    x_block = _elliptic_block(
+        p, jt_f, jr_f, vel_t, vel_r, friction, solref, solimp, invw, dim,
+        impratio, ts, refsafe, ell_dm, dtype)
+  elif K3:
     (p, pos_w, frame, friction, solref, solimp, croot1, croot2, invw,
      ancd, dim) = _selected_contact_data(m, d, slots3, K3, dtype)
     act = p < 0
@@ -516,13 +619,19 @@ def _contacts_compacted(m: Model, d: Data, ts, refsafe, dtype):
     r = jnp.maximum((1.0 - imp) / imp * invw, _MINVAL)
     blocks.append((jn, 1.0 / r, -b_c * vn - k_c * imp * p, act, p))
 
+  if not blocks:
+    nv = s.nv
+    blocks = [(jnp.zeros((1, nv), dtype), jnp.zeros(1, dtype),
+               jnp.zeros(1, dtype), jnp.zeros(1, bool),
+               jnp.zeros(1, dtype))]
   c_J = jnp.concatenate([b[0] for b in blocks], axis=0)
   c_D = jnp.concatenate([b[1] for b in blocks])
   c_aref = jnp.concatenate([b[2] for b in blocks])
   c_active = jnp.concatenate([b[3] for b in blocks])
   c_pos = jnp.concatenate([b[4] for b in blocks])
-  assert c_J.shape[0] == lay.ncr, (c_J.shape, lay.ncr)
-  return c_J, c_D, c_aref, c_active, c_pos
+  if x_block is None:
+    assert c_J.shape[0] == lay.ncr, (c_J.shape, lay.ncr)
+  return c_J, c_D, c_aref, c_active, c_pos, x_block
 
 
 def make_efc(m: Model, d: Data):
@@ -592,7 +701,9 @@ def make_efc(m: Model, d: Data):
     l_active = jnp.zeros(max(nl, 1), bool)
     l_pos = jnp.zeros(max(nl, 1), dtype)
 
-  # ---- contact rows (pyramidal), dense block ----
+  # ---- contact rows, dense block (pyramidal) or elliptic x block ----
+  ell_dm = elliptic_dmax(s)
+  x_block = None
   nce = max(ncr, 1)
   c_J = jnp.zeros((nce, nv), dtype)
   c_D = jnp.zeros(nce, dtype)
@@ -602,7 +713,7 @@ def make_efc(m: Model, d: Data):
   con_row0 = lay.nf + nl  # global row index of first contact row
   if (s.ncon_cap or s.ncon_cap1) and not (
       s.disableflags & DisableBit.CONTACT):
-    c_J, c_D, c_aref, c_active, c_pos = _contacts_compacted(
+    c_J, c_D, c_aref, c_active, c_pos, x_block = _contacts_compacted(
         m, d, ts, refsafe, dtype)
   elif s.pairs.ncon_max and not (s.disableflags & DisableBit.CONTACT):
     con = d.contact
@@ -638,8 +749,31 @@ def make_efc(m: Model, d: Data):
     vel_t = jt_f @ qvel  # (ncon, 3)
     vel_r = jr_f @ qvel
 
+    if ell_dm:
+      sl3 = np.nonzero(s.con_dim[:ncon] > 1)[0]
+      sl1 = np.nonzero(s.con_dim[:ncon] == 1)[0]
+      x_block = _elliptic_block(
+          p[sl3], jt_f[sl3], jr_f[sl3], vel_t[sl3], vel_r[sl3],
+          con.friction[sl3], con.solref[sl3], con.solimp[sl3], invw[sl3],
+          jnp.asarray(s.con_dim)[sl3], m.opt.impratio.astype(dtype),
+          ts, refsafe, ell_dm, dtype)
+      if len(sl1):
+        r1 = jnp.maximum((1.0 - imp[sl1]) / imp[sl1] * invw[sl1], _MINVAL)
+        c_J = jt_f[sl1, 0]
+        c_D = 1.0 / r1
+        c_aref = -b[sl1] * vel_t[sl1, 0] - k[sl1] * imp[sl1] * p[sl1]
+        c_active = act[sl1]
+        c_pos = p[sl1]
+      else:
+        c_J = jnp.zeros((1, nv), dtype)
+        c_D = jnp.zeros(1, dtype)
+        c_aref = jnp.zeros(1, dtype)
+        c_active = jnp.zeros(1, bool)
+        c_pos = jnp.zeros(1, dtype)
+
     # vectorize per condim group (slots of equal condim share row structure)
-    for dim in sorted(set(int(x) for x in s.con_dim[:ncon])):
+    for dim in sorted(set(int(x) for x in s.con_dim[:ncon])) \
+        if not ell_dm else []:
       sl = np.nonzero(s.con_dim[:ncon] == dim)[0]
       if len(sl) == 0:
         continue
@@ -691,21 +825,31 @@ def make_efc(m: Model, d: Data):
     e_active = jnp.zeros(1, bool)
     e_pos = jnp.zeros(1, dtype)
 
+  if x_block is None and ell_dm:
+    x_block = _empty_elliptic(nv, dtype, ell_dm)
+
   if s.disableflags & DisableBit.CONSTRAINT:
     f_active = jnp.zeros_like(f_active)
     l_active = jnp.zeros_like(l_active)
     c_active = jnp.zeros_like(c_active)
     e_active = jnp.zeros_like(e_active)
+    if x_block is not None:
+      x_block['x_active'] = jnp.zeros_like(x_block['x_active'])
 
   f_D = jnp.where(f_active, f_D, 0.0)
   l_D = jnp.where(l_active, l_D, 0.0)
   c_D = jnp.where(c_active, c_D, 0.0)
   e_D = jnp.where(e_active, e_D, 0.0)
-  return dict(
+  out = dict(
       f_D=f_D, f_aref=f_aref, f_floss=f_floss, f_active=f_active,
       l_sign=l_sign, l_D=l_D, l_aref=l_aref, l_active=l_active, l_pos=l_pos,
       c_J=c_J, c_D=c_D, c_aref=c_aref, c_active=c_active, c_pos=c_pos,
       e_J=e_J, e_D=e_D, e_aref=e_aref, e_active=e_active, e_pos=e_pos)
+  if x_block is not None:
+    x_block['x_D'] = jnp.where(x_block['x_active'][:, None],
+                               x_block['x_D'], 0.0)
+    out.update(x_block)
+  return out
 
 
 def limit_dofadr(stat: ModelStatic) -> np.ndarray:
@@ -730,7 +874,9 @@ def densify_efc(stat: ModelStatic, efc: dict) -> dict:
   J = J.at[ne + jnp.arange(nv), jnp.arange(nv)].set(1.0)
   if nl:
     J = J.at[ne + nv + jnp.arange(nl), ldof].set(efc['l_sign'])
-  if ncr:
+
+  elliptic = 'x_J' in efc
+  if ncr and not elliptic:
     J = J.at[ne + nv + nl:].set(efc['c_J'][:ncr])
 
   def cat(e, f, l, c):
@@ -740,12 +886,14 @@ def densify_efc(stat: ModelStatic, efc: dict) -> dict:
     parts.append(f)
     parts.append(l[:nl])
     if ncr:
-      parts.append(c[:ncr])
+      parts.append(c[:ncr] if not elliptic
+                   else jnp.zeros(ncr, c.dtype if hasattr(c, 'dtype')
+                                  else dtype))
     return jnp.concatenate(parts, axis=0)
 
   z = jnp.zeros(max(nl, 1), dtype)
   ez = jnp.zeros_like(efc['e_D'])
-  return dict(
+  out = dict(
       J=J,
       D=cat(efc['e_D'], efc['f_D'], efc['l_D'], efc['c_D']),
       aref=cat(efc['e_aref'], efc['f_aref'], efc['l_aref'], efc['c_aref']),
@@ -756,3 +904,34 @@ def densify_efc(stat: ModelStatic, efc: dict) -> dict:
                   jnp.ones(max(nl, 1), bool), jnp.ones_like(efc['c_active'])),
       pos=cat(efc['e_pos'], jnp.zeros(nv, dtype), efc['l_pos'],
               efc['c_pos']))
+  if elliptic and ncr:
+    # scatter frictionless (c block) and elliptic (x block) rows into the
+    # dense slot-ordered layout; invalid x axes map to row nefc (dropped)
+    x_rows, c1_rows, _, _ = elliptic_row_maps(stat)
+    if efc['x_D'].shape[0] != x_rows.shape[0]:
+      # empty placeholder block (contacts disabled): nothing to scatter
+      x_rows = np.zeros((0, efc['x_D'].shape[1]), np.int64)
+    xr = jnp.asarray(x_rows)
+    c1r = jnp.asarray(c1_rows)
+
+    def scat(dense, cvals, xvals):
+      if len(c1_rows):
+        dense = dense.at[c1r].set(cvals[:len(c1_rows)], mode='drop')
+      if x_rows.shape[0]:
+        dense = dense.at[xr.ravel()].set(
+            xvals.reshape(xr.size, *xvals.shape[2:]), mode='drop')
+      return dense
+
+    out['J'] = scat(out['J'], efc['c_J'], efc['x_J'])
+    out['D'] = scat(out['D'], efc['c_D'], efc['x_D'])
+    out['aref'] = scat(out['aref'], efc['c_aref'], efc['x_aref'])
+    nx, dm = efc['x_D'].shape
+    out['active'] = scat(out['active'], efc['c_active'],
+                         jnp.broadcast_to(efc['x_active'][:, None],
+                                          (nx, dm)))
+    out['pos'] = scat(out['pos'], efc['c_pos'],
+                      jnp.broadcast_to(efc['x_pos'][:, None], (nx, dm)))
+    out['oneside'] = scat(out['oneside'], jnp.ones_like(efc['c_active']),
+                          jnp.broadcast_to(efc['x_active'][:, None],
+                                           (nx, dm)))
+  return out

@@ -230,14 +230,6 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32,
     raise NotImplementedError('actuator activation dynamics not supported')
   if m.nhfield > 1:
     raise NotImplementedError('at most one heightfield supported')
-  if int(m.opt.cone) == int(mujoco.mjtCone.mjCONE_ELLIPTIC):
-    # fail loudly rather than silently solving the wrong cone: the Newton
-    # solver implements the pyramidal cost only (MujocoCfg.cone accepts
-    # 'elliptic' for config parity with reference src/mjlab/sim/sim.py:42-82)
-    raise NotImplementedError(
-        "cone='elliptic' is not implemented by the Newton solver yet; "
-        "use cone='pyramidal' (MuJoCo's default for this solver class)")
-
   pairs = _build_pairs(m)
   _, _, slot_dims = contact_slot_meta(m, pairs)
   n3_slots = int((slot_dims[:pairs.ncon_max] > 1).sum())
@@ -430,9 +422,10 @@ def nefc_max(stat: ModelStatic) -> int:
   nfric = int(stat.nv) + equality_rows_count(stat)
   nlimit = int(stat.jnt_limited.sum())
   if stat.ncon_cap or stat.ncon_cap1:
-    # compacted: pyramidal rows for the frictional pool + one normal row
-    # per frictionless-pool slot
-    k_rows = 2 * max(int(stat.con_dim.max()) - 1, 1)
+    # compacted: pyramidal (or elliptic) rows for the frictional pool +
+    # one normal row per frictionless-pool slot
+    maxdim = int(stat.con_dim.max())
+    k_rows = maxdim if stat.cone == 1 else 2 * max(maxdim - 1, 1)
     return nfric + nlimit + stat.ncon_cap * k_rows + stat.ncon_cap1
   ncontact_rows = 0
   for _, (g1s, g2s, base, npts) in stat.pairs.groups.items():

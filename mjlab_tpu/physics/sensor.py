@@ -146,6 +146,33 @@ def contact_force(m: Model, d: Data) -> jax.Array:
   force = jnp.zeros((ncon, 6), dtype)
   if not s.pairs.ncon_max:
     return force
+  from mjlab_tpu.physics.constraint import elliptic_dmax, elliptic_row_maps
+  dm = elliptic_dmax(s)
+  if dm:
+    # elliptic rows ARE the contact-frame force components
+    x_rows, c1_rows, slots3, slots1 = elliptic_row_maps(s)
+    f_pad = jnp.concatenate([d.efc_force, jnp.zeros(1, dtype)])
+    if s.ncon_cap or s.ncon_cap1:
+      p_all = d.contact.dist - d.contact.includemargin
+      if s.ncon_cap:
+        _, sel3 = jax.lax.top_k(-p_all[jnp.asarray(slots3)], s.ncon_cap)
+        idx3 = jnp.asarray(slots3)[sel3]
+        rows = f_pad[jnp.asarray(x_rows)]  # (K3, DM)
+        force = force.at[idx3[:, None],
+                         np.arange(dm)[None, :]].set(rows)
+      if s.ncon_cap1:
+        _, sel1 = jax.lax.top_k(-p_all[jnp.asarray(slots1)], s.ncon_cap1)
+        idx1 = jnp.asarray(slots1)[sel1]
+        force = force.at[idx1, 0].set(f_pad[jnp.asarray(c1_rows)])
+      return force
+    if len(slots3):
+      rows = f_pad[jnp.asarray(x_rows)]  # invalid axes read the 0 pad
+      force = force.at[np.asarray(slots3)[:, None],
+                       np.arange(dm)[None, :]].set(rows)
+    if len(slots1):
+      force = force.at[np.asarray(slots1), 0].set(
+          f_pad[jnp.asarray(c1_rows)])
+    return force
   if s.ncon_cap or s.ncon_cap1:
     # Compacted mode: efc rows belong to the per-pool deepest candidate
     # slots. Re-derive the same deterministic top-K selections used by

@@ -77,48 +77,141 @@ def _cost_friction(jar, D, floss, active):
   return jnp.sum(jnp.where(act, s, 0.0))
 
 
+# ---------------------------------------------------------------------------
+# elliptic-cone contact pieces (MuJoCo zone formulas, verified to ~1e-13
+# against mj_constraintUpdate — see physics/constraint.py _elliptic_block)
+# ---------------------------------------------------------------------------
+
+
+def _elliptic_zones(jx, xD, mu, fr, act):
+  """Common elliptic quantities. jx: (..., NX, DM) residuals; returns
+  (mid, bot, K, z, w, Tu) with zone masks including the active gate."""
+  N = jx[..., 0]
+  u = jx[..., 1:] * fr / jnp.maximum(mu, _EPS)[..., None]
+  Tu = jnp.sqrt(jnp.maximum(jnp.sum(u * u, -1), _EPS))
+  top = N >= mu * Tu
+  bottom = mu * N + Tu <= 0.0
+  mid = act & ~top & ~bottom
+  bot = act & bottom & ~top
+  K = xD[..., 0] / (2.0 * (1.0 + mu * mu))
+  z = mu * Tu - N
+  w = (u / Tu[..., None]) * fr  # dC/djar_t direction scale
+  return mid, bot, K, z, w, Tu
+
+
+def _elliptic_forces(jx, xD, mu, fr, act):
+  """(forces (..., NX, DM), cost scalar-per-batch) of the elliptic block."""
+  mid, bot, K, z, w, Tu = _elliptic_zones(jx, xD, mu, fr, act)
+  f_mid = jnp.concatenate(
+      [(2.0 * K * z)[..., None], -(2.0 * K * z)[..., None] * w], -1)
+  f_bot = -xD * jx
+  f = jnp.where(mid[..., None], f_mid,
+                jnp.where(bot[..., None], f_bot, 0.0))
+  cost = jnp.sum(jnp.where(mid, K * z * z,
+                           jnp.where(bot,
+                                     0.5 * jnp.sum(xD * jx * jx, -1),
+                                     0.0)), -1)
+  return f, cost
+
+
+def _elliptic_hess(jx, xD, mu, fr, act):
+  """Exact per-contact cost Hessian blocks B (..., NX, DM, DM)."""
+  mid, bot, K, z, w, Tu = _elliptic_zones(jx, xD, mu, fr, act)
+  dm = jx.shape[-1]
+  g = jnp.concatenate([-jnp.ones_like(w[..., :1]), w], -1)  # (..., DM)
+  ggT = g[..., :, None] * g[..., None, :]
+  # tangential curvature (diag(fr^2) - w w^T) / (mu * Tu), zero row/col 0
+  eye_t = jnp.zeros((dm, dm), jx.dtype).at[
+      jnp.arange(1, dm), jnp.arange(1, dm)].set(1.0)
+  fr_full = jnp.concatenate([jnp.zeros_like(w[..., :1]), fr], -1)
+  w_full = jnp.concatenate([jnp.zeros_like(w[..., :1]), w], -1)
+  diag_fr2 = eye_t * (fr_full[..., :, None] * fr_full[..., None, :])
+  wwT = w_full[..., :, None] * w_full[..., None, :]
+  denom = jnp.maximum(mu * Tu, _EPS)
+  B_mid = 2.0 * K[..., None, None] * (
+      ggT + (z / denom)[..., None, None] * (diag_fr2 - wwT))
+  B_bot = (jnp.eye(dm, dtype=jx.dtype) * xD[..., None, :])
+  return jnp.where(mid[..., None, None], B_mid,
+                   jnp.where(bot[..., None, None], B_bot, 0.0))
+
+
+def _elliptic_gh(jx, jdx, xD, mu, fr, act):
+  """Linesearch pieces: (-f . jdx summed, jdx^T B jdx summed) — the
+  gradient and curvature contributions of the elliptic block to
+  phi'(alpha)/phi''(alpha) at residuals jx along direction jdx."""
+  mid, bot, K, z, w, Tu = _elliptic_zones(jx, xD, mu, fr, act)
+  gdot = -jdx[..., 0] + jnp.sum(w * jdx[..., 1:], -1)
+  denom = jnp.maximum(mu * Tu, _EPS)
+  h_mid = 2.0 * K * (gdot * gdot
+                     + (z / denom) * (jnp.sum((fr * jdx[..., 1:]) ** 2, -1)
+                                      - jnp.sum(w * jdx[..., 1:], -1) ** 2))
+  h_bot = jnp.sum(xD * jdx * jdx, -1)
+  f, _ = _elliptic_forces(jx, xD, mu, fr, act)
+  g = -jnp.sum(f * jdx, (-2, -1))
+  h = jnp.sum(jnp.where(mid, h_mid, jnp.where(bot, h_bot, 0.0)), -1)
+  return g, h
+
+
 def _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
                 l_act, f_aref, fD, floss, f_act, iterations, ls_polish,
-                ldof, ne=0):
+                ldof, ne=0, xargs=None):
   """Single-env structured Newton solve ->
-  (qacc, f_friction (nv,), f_limit (nl,), f_contact (ncr,)).
+  (qacc, f_friction (nv,), f_limit (nl,), f_contact (ncr,)[, f_elliptic]).
   Pure jax.numpy path (float64 CPU oracle tests + custom_vmap fallback).
-  """
+  xargs = (xJ (NX, DM, nv), x_aref, xD, x_mu, x_fr, x_act) adds the
+  elliptic-cone contact block (MuJoCo cone=elliptic)."""
   ldof = jnp.asarray(ldof)
   # first `ne` dense rows are bilateral equality rows (no one-sided clamp)
   bilat = jnp.arange(cJ.shape[0]) < ne
+  elliptic = xargs is not None
+  if elliptic:
+    xJ, x_aref, xD, x_mu, x_fr, x_act = xargs
 
   def jars_of(x):
-    return (x - f_aref,
+    jars = (x - f_aref,
             l_sign * x[ldof] - l_aref,
             cJ @ x - c_aref)
+    if elliptic:
+      jars = jars + (jnp.einsum('cdv,v->cd', xJ, x) - x_aref,)
+    return jars
 
   def forces_of(jars):
-    jf, jl, jc = jars
+    jf, jl, jc = jars[:3]
     ff, qf = _forces_friction(jf, fD, floss, f_act)
     fl, ql = _forces_oneside(jl, lD, l_act)
     fc, qc = _forces_oneside(jc, cD, c_act, bilat)
+    if elliptic:
+      fx, _ = _elliptic_forces(jars[3], xD, x_mu, x_fr, x_act)
+      return (ff, fl, fc, fx), (qf, ql, qc)
     return (ff, fl, fc), (qf, ql, qc)
 
   def cost_of(x):
-    jf, jl, jc = jars_of(x)
+    jars = jars_of(x)
+    jf, jl, jc = jars[:3]
     dx = x - a0
-    return (0.5 * dx @ (M @ dx)
+    cost = (0.5 * dx @ (M @ dx)
             + _cost_friction(jf, fD, floss, f_act)
             + _cost_oneside(jl, lD, l_act)
             + _cost_oneside(jc, cD, c_act, bilat))
+    if elliptic:
+      cost = cost + _elliptic_forces(jars[3], xD, x_mu, x_fr, x_act)[1]
+    return cost
 
-  def jt_apply(ff, fl, fc):
+  def jt_apply(forces):
     """J^T f with the structured blocks."""
+    ff, fl, fc = forces[:3]
     out = ff + cJ.T @ fc
-    return out.at[ldof].add(l_sign * fl)
+    out = out.at[ldof].add(l_sign * fl)
+    if elliptic:
+      out = out + jnp.einsum('cd,cdv->v', forces[3], xJ)
+    return out
 
   x0 = jnp.where(cost_of(ws) < cost_of(a0), ws, a0)
 
   def newton_step(_, x):
     jars = jars_of(x)
-    (ff, fl, fc), (qf, ql, qc) = forces_of(jars)
-    grad = M @ (x - a0) - jt_apply(ff, fl, fc)
+    forces, (qf, ql, qc) = forces_of(jars)
+    grad = M @ (x - a0) - jt_apply(forces)
 
     # Hessian: M + diagonal (friction+limit) + dense contact part
     diag = jnp.zeros_like(x).at[ldof].add(jnp.where(ql, lD, 0.0))
@@ -126,6 +219,9 @@ def _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
     Dq_c = jnp.where(qc, cD, 0.0)
     H = M + (cJ.T * Dq_c[None, :]) @ cJ
     H = H + jnp.diag(diag) + 1e-12 * jnp.eye(H.shape[0], dtype=H.dtype)
+    if elliptic:
+      B = _elliptic_hess(jars[3], xD, x_mu, x_fr, x_act)  # (NX, DM, DM)
+      H = H + jnp.einsum('cab,cau,cbv->uv', B, xJ, xJ)
     # fused Pallas op when vmapped on TPU (ops/pd_solve.py)
     dx = _solve_pd(H, -grad)
 
@@ -133,21 +229,31 @@ def _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
     jd_f = dx
     jd_l = l_sign * dx[ldof]
     jd_c = cJ @ dx
+    jd_x = jnp.einsum('cdv,v->cd', xJ, dx) if elliptic else None
     Md = M @ dx
     dMd = dx @ Md
     xMd = (x - a0) @ Md
-    jf0, jl0, jc0 = jars
+    jf0, jl0, jc0 = jars[:3]
 
     def phi_grad_hess(alpha):
       a = alpha[..., None]
-      (ff_a, fl_a, fc_a), (qf_a, ql_a, qc_a) = forces_of(
-          (jf0 + a * jd_f, jl0 + a * jd_l, jc0 + a * jd_c))
+      jf_a = jf0 + a * jd_f
+      jl_a = jl0 + a * jd_l
+      jc_a = jc0 + a * jd_c
+      ff_a, qf_a = _forces_friction(jf_a, fD, floss, f_act)
+      fl_a, ql_a = _forces_oneside(jl_a, lD, l_act)
+      fc_a, qc_a = _forces_oneside(jc_a, cD, c_act, bilat)
       g = (alpha * dMd + xMd
            - jnp.sum(ff_a * jd_f, -1) - jnp.sum(fl_a * jd_l, -1)
            - jnp.sum(fc_a * jd_c, -1))
       h = (dMd + jnp.sum(jnp.where(qf_a, fD, 0.0) * jd_f * jd_f, -1)
            + jnp.sum(jnp.where(ql_a, lD, 0.0) * jd_l * jd_l, -1)
            + jnp.sum(jnp.where(qc_a, cD, 0.0) * jd_c * jd_c, -1))
+      if elliptic:
+        jx_a = jars[3] + alpha[..., None, None] * jd_x
+        gx, hx = _elliptic_gh(jx_a, jd_x, xD, x_mu, x_fr, x_act)
+        g = g + gx
+        h = h + hx
       return g, h
 
     g0, h0 = phi_grad_hess(jnp.zeros((), x.dtype))
@@ -180,8 +286,10 @@ def _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
     return x + jnp.maximum(alpha, 0.0) * dx
 
   x = jax.lax.fori_loop(0, iterations, newton_step, x0)
-  (ff, fl, fc), _ = forces_of(jars_of(x))
-  return x, ff, fl, fc
+  forces, _ = forces_of(jars_of(x))
+  if elliptic:
+    return x, forces[0], forces[1], forces[2], forces[3]
+  return x, forces[0], forces[1], forces[2]
 
 
 @functools.lru_cache(maxsize=None)
@@ -221,6 +329,23 @@ def _newton_fn(iterations: int, ls_polish: int, ldof: tuple, ne: int = 0):
   return fn
 
 
+@functools.lru_cache(maxsize=None)
+def _newton_fn_elliptic(iterations: int, ls_polish: int, ldof: tuple,
+                        ne: int = 0):
+  """Newton solve with the elliptic-cone contact block (XLA path only;
+  the whole-solver Pallas kernel implements the pyramidal cost)."""
+  ldof_np = np.asarray(ldof, np.int32)
+
+  def fn(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD, l_act,
+         f_aref, fD, floss, f_act, xJ, x_aref, xD, x_mu, x_fr, x_act):
+    return _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref,
+                       lD, l_act, f_aref, fD, floss, f_act, iterations,
+                       ls_polish, ldof_np, ne,
+                       xargs=(xJ, x_aref, xD, x_mu, x_fr, x_act))
+
+  return fn
+
+
 def _kernel_vmem_bytes(n: int, ncr: int, block_b: int = 128) -> int:
   """Rough VMEM footprint of one ops/newton.py block: M + cJ (+ its
   double buffer) + 2 (n,n) scratch + one (ncr,n,BB) transient. Models
@@ -250,18 +375,49 @@ def solve(m: Model, d: Data, efc) -> Data:
   else:
     cJ, c_aref, c_D, c_act = (efc['c_J'], efc['c_aref'], efc['c_D'],
                               efc['c_active'])
-  fn = _newton_fn(int(s.iterations), ls_polish, ldof, ne)
-  x, ff, fl, fc = fn(
-      d.qM, d.qacc_smooth, d.qacc_warmstart,
-      cJ, c_aref, c_D, c_act,
-      efc['l_sign'], efc['l_aref'], efc['l_D'], efc['l_active'],
-      efc['f_aref'], efc['f_D'], efc['f_floss'], efc['f_active'])
-  qfrc_constraint = (ff + cJ.T @ fc).at[
-      jnp.asarray(ldof)].add(efc['l_sign'] * fl)
-  # dense efc_force in MuJoCo row order [equality|friction|limit|contact]
-  parts = ([fc[:ne], ff, fl[:lay.nl], fc[ne:ne + lay.ncr]] if ne
-           else [ff, fl[:lay.nl], fc[:lay.ncr]])
-  efc_force = jnp.concatenate([p for p in parts if p.shape[0]], axis=0)
+  elliptic = 'x_J' in efc
+  if elliptic:
+    fn = _newton_fn_elliptic(int(s.iterations), ls_polish, ldof, ne)
+    x, ff, fl, fc, fx = fn(
+        d.qM, d.qacc_smooth, d.qacc_warmstart,
+        cJ, c_aref, c_D, c_act,
+        efc['l_sign'], efc['l_aref'], efc['l_D'], efc['l_active'],
+        efc['f_aref'], efc['f_D'], efc['f_floss'], efc['f_active'],
+        efc['x_J'], efc['x_aref'], efc['x_D'], efc['x_mu'], efc['x_fr'],
+        efc['x_active'])
+    qfrc_constraint = (ff + cJ.T @ fc
+                       + jnp.einsum('cd,cdv->v', fx, efc['x_J'])).at[
+                           jnp.asarray(ldof)].add(efc['l_sign'] * fl)
+    # dense efc_force [equality|friction|limit|contacts by slot]: the
+    # frictionless (c block) and elliptic (x block) rows scatter to their
+    # static slot-ordered addresses
+    x_rows, c1_rows, _, _ = _constraint.elliptic_row_maps(s)
+    efc_force = jnp.zeros(lay.nefc, x.dtype)
+    if ne:
+      efc_force = efc_force.at[:ne].set(fc[:ne])
+    efc_force = efc_force.at[ne + jnp.arange(s.nv)].set(ff)
+    if lay.nl:
+      efc_force = efc_force.at[ne + s.nv + jnp.arange(lay.nl)].set(
+          fl[:lay.nl])
+    if len(c1_rows):
+      efc_force = efc_force.at[jnp.asarray(c1_rows)].set(
+          fc[ne:ne + len(c1_rows)], mode='drop')
+    if x_rows.shape[0] and fx.shape[0] == x_rows.shape[0]:
+      efc_force = efc_force.at[jnp.asarray(x_rows).ravel()].set(
+          fx.reshape(-1), mode='drop')
+  else:
+    fn = _newton_fn(int(s.iterations), ls_polish, ldof, ne)
+    x, ff, fl, fc = fn(
+        d.qM, d.qacc_smooth, d.qacc_warmstart,
+        cJ, c_aref, c_D, c_act,
+        efc['l_sign'], efc['l_aref'], efc['l_D'], efc['l_active'],
+        efc['f_aref'], efc['f_D'], efc['f_floss'], efc['f_active'])
+    qfrc_constraint = (ff + cJ.T @ fc).at[
+        jnp.asarray(ldof)].add(efc['l_sign'] * fl)
+    # dense efc_force in MuJoCo row order [equality|friction|limit|contact]
+    parts = ([fc[:ne], ff, fl[:lay.nl], fc[ne:ne + lay.ncr]] if ne
+             else [ff, fl[:lay.nl], fc[:lay.ncr]])
+    efc_force = jnp.concatenate([p for p in parts if p.shape[0]], axis=0)
   return d.replace(
       qacc=x,
       qfrc_constraint=qfrc_constraint,
