@@ -54,15 +54,22 @@ class EfcLayout:
   # contact rows
   con_base: np.ndarray  # (ncon,) first row of each contact slot
   con_rows: np.ndarray  # (ncon,) number of rows of each slot
+  # tendon limit rows (dense J): after joint limits, before contacts
+  limit_ten: np.ndarray = dataclasses.field(
+      default_factory=lambda: np.zeros(0, np.int64))
 
   @property
   def nl(self) -> int:
     return len(self.limit_jnt)
 
   @property
+  def nlt(self) -> int:
+    return len(self.limit_ten)
+
+  @property
   def ncr(self) -> int:
     """Total dense contact rows."""
-    return self.nefc - self.ne - self.nf - self.nl
+    return self.nefc - self.ne - self.nf - self.nl - self.nlt
 
 
 def elliptic_dmax(stat: ModelStatic) -> int:
@@ -84,6 +91,9 @@ def efc_layout(stat: ModelStatic) -> EfcLayout:
       stat.jnt_limited &
       np.isin(stat.jnt_type, (int(JointType.HINGE), int(JointType.SLIDE))))[0]
   limit_base = ne + nf
+  limit_ten = (np.nonzero(stat.ten_limited[:stat.ntendon])[0]
+               if stat.ntendon else np.zeros(0, np.int64))
+  nlt = len(limit_ten)
   if stat.ncon_cap or stat.ncon_cap1:
     # compacted layout, two pools: ncon_cap frictional slots with a
     # uniform pyramidal structure (2 rows per friction axis of the max
@@ -92,7 +102,7 @@ def efc_layout(stat: ModelStatic) -> EfcLayout:
     k3, k1 = stat.ncon_cap, stat.ncon_cap1
     dm = elliptic_dmax(stat)
     k_rows = dm if dm else 2 * max(int(stat.con_dim.max()) - 1, 1)
-    base0 = limit_base + len(limit_jnt)
+    base0 = limit_base + len(limit_jnt) + nlt
     con_base = np.concatenate([
         base0 + k_rows * np.arange(k3, dtype=np.int32),
         base0 + k_rows * k3 + np.arange(k1, dtype=np.int32)])
@@ -101,12 +111,12 @@ def efc_layout(stat: ModelStatic) -> EfcLayout:
     return EfcLayout(
         nefc=base0 + k3 * k_rows + k1, ne=ne, nf=nf,
         limit_jnt=limit_jnt, limit_base=limit_base,
-        con_base=con_base, con_rows=con_rows)
+        con_base=con_base, con_rows=con_rows, limit_ten=limit_ten)
   ncon = max(stat.pairs.ncon_max, 1)
   # recover static per-slot condim (same logic as io.make_data)
   con_rows = np.zeros(ncon, np.int32)
   con_base = np.zeros(ncon, np.int32)
-  row = limit_base + len(limit_jnt)  # limit_base already includes ne
+  row = limit_base + len(limit_jnt) + nlt  # limit_base already includes ne
   dims = np.ones(ncon, np.int32)
   for _, (g1s, g2s, base, npts) in stat.pairs.groups.items():
     for i, (g1, g2) in enumerate(zip(g1s, g2s)):
@@ -125,7 +135,7 @@ def efc_layout(stat: ModelStatic) -> EfcLayout:
     row += con_rows[c]
   return EfcLayout(nefc=row, ne=ne, nf=nf, limit_jnt=limit_jnt,
                    limit_base=limit_base, con_base=con_base,
-                   con_rows=con_rows)
+                   con_rows=con_rows, limit_ten=limit_ten)
 
 
 def _impedance(solimp: jax.Array, pos: jax.Array) -> jax.Array:
@@ -701,6 +711,33 @@ def make_efc(m: Model, d: Data):
     l_active = jnp.zeros(max(nl, 1), bool)
     l_pos = jnp.zeros(max(nl, 1), dtype)
 
+  # ---- tendon limit rows (dense J = sign * ten_J) ----
+  if lay.nlt and not (s.disableflags & DisableBit.LIMIT):
+    tl = lay.limit_ten
+    L = d.ten_length[tl]
+    lo, hi = m.tendon_range[tl, 0], m.tendon_range[tl, 1]
+    dist_lo = L - lo
+    dist_hi = hi - L
+    use_lo = dist_lo <= dist_hi
+    dist = jnp.where(use_lo, dist_lo, dist_hi)
+    sign = jnp.where(use_lo, 1.0, -1.0).astype(dtype)
+    p = dist - m.tendon_margin[tl]
+    b, k, imp = _kbi(m.tendon_solref_lim[tl], m.tendon_solimp_lim[tl], p,
+                     ts, refsafe)
+    vel = sign * d.ten_velocity[tl]
+    r = jnp.maximum((1.0 - imp) / imp * m.tendon_invweight0[tl], _MINVAL)
+    t_J = sign[:, None] * d.ten_J[tl]
+    t_D = 1.0 / r
+    t_aref = -b * vel - k * imp * p
+    t_active = p < 0
+    t_pos = p
+  else:
+    t_J = jnp.zeros((max(lay.nlt, 1), nv), dtype)
+    t_D = jnp.zeros(max(lay.nlt, 1), dtype)
+    t_aref = jnp.zeros(max(lay.nlt, 1), dtype)
+    t_active = jnp.zeros(max(lay.nlt, 1), bool)
+    t_pos = jnp.zeros(max(lay.nlt, 1), dtype)
+
   # ---- contact rows, dense block (pyramidal) or elliptic x block ----
   ell_dm = elliptic_dmax(s)
   x_block = None
@@ -833,6 +870,7 @@ def make_efc(m: Model, d: Data):
     l_active = jnp.zeros_like(l_active)
     c_active = jnp.zeros_like(c_active)
     e_active = jnp.zeros_like(e_active)
+    t_active = jnp.zeros_like(t_active)
     if x_block is not None:
       x_block['x_active'] = jnp.zeros_like(x_block['x_active'])
 
@@ -840,11 +878,15 @@ def make_efc(m: Model, d: Data):
   l_D = jnp.where(l_active, l_D, 0.0)
   c_D = jnp.where(c_active, c_D, 0.0)
   e_D = jnp.where(e_active, e_D, 0.0)
+  t_D = jnp.where(t_active, t_D, 0.0)
   out = dict(
       f_D=f_D, f_aref=f_aref, f_floss=f_floss, f_active=f_active,
       l_sign=l_sign, l_D=l_D, l_aref=l_aref, l_active=l_active, l_pos=l_pos,
       c_J=c_J, c_D=c_D, c_aref=c_aref, c_active=c_active, c_pos=c_pos,
       e_J=e_J, e_D=e_D, e_aref=e_aref, e_active=e_active, e_pos=e_pos)
+  if lay.nlt:
+    out.update(t_J=t_J, t_D=t_D, t_aref=t_aref, t_active=t_active,
+               t_pos=t_pos)
   if x_block is not None:
     x_block['x_D'] = jnp.where(x_block['x_active'][:, None],
                                x_block['x_D'], 0.0)
@@ -865,7 +907,7 @@ def densify_efc(stat: ModelStatic, efc: dict) -> dict:
   [equality | friction | limit | contact] — for tests/debugging parity
   with mjData.efc_* arrays."""
   lay = efc_layout(stat)
-  ne, nv, nl, ncr = lay.ne, lay.nf, lay.nl, lay.ncr
+  ne, nv, nl, nlt, ncr = lay.ne, lay.nf, lay.nl, lay.nlt, lay.ncr
   ldof = limit_dofadr(stat)
   dtype = efc['c_J'].dtype
   J = jnp.zeros((lay.nefc, nv), dtype)
@@ -874,17 +916,22 @@ def densify_efc(stat: ModelStatic, efc: dict) -> dict:
   J = J.at[ne + jnp.arange(nv), jnp.arange(nv)].set(1.0)
   if nl:
     J = J.at[ne + nv + jnp.arange(nl), ldof].set(efc['l_sign'])
+  if nlt:
+    J = J.at[ne + nv + nl + jnp.arange(nlt)].set(efc['t_J'][:nlt])
 
   elliptic = 'x_J' in efc
   if ncr and not elliptic:
-    J = J.at[ne + nv + nl:].set(efc['c_J'][:ncr])
+    J = J.at[ne + nv + nl + nlt:].set(efc['c_J'][:ncr])
 
-  def cat(e, f, l, c):
+  def cat(e, f, l, c, t=None):
     parts = []
     if ne:
       parts.append(e[:ne])
     parts.append(f)
     parts.append(l[:nl])
+    if nlt:
+      parts.append(t[:nlt] if t is not None
+                   else jnp.zeros(nlt, dtype))
     if ncr:
       parts.append(c[:ncr] if not elliptic
                    else jnp.zeros(ncr, c.dtype if hasattr(c, 'dtype')
@@ -893,17 +940,21 @@ def densify_efc(stat: ModelStatic, efc: dict) -> dict:
 
   z = jnp.zeros(max(nl, 1), dtype)
   ez = jnp.zeros_like(efc['e_D'])
+  tget = lambda k: efc.get(k) if nlt else None
+  tb = (jnp.ones(max(nlt, 1), bool) if nlt else None)
   out = dict(
       J=J,
-      D=cat(efc['e_D'], efc['f_D'], efc['l_D'], efc['c_D']),
-      aref=cat(efc['e_aref'], efc['f_aref'], efc['l_aref'], efc['c_aref']),
+      D=cat(efc['e_D'], efc['f_D'], efc['l_D'], efc['c_D'], tget('t_D')),
+      aref=cat(efc['e_aref'], efc['f_aref'], efc['l_aref'], efc['c_aref'],
+               tget('t_aref')),
       frictionloss=cat(ez, efc['f_floss'], z, jnp.zeros_like(efc['c_D'])),
       active=cat(efc['e_active'], efc['f_active'], efc['l_active'],
-                 efc['c_active']),
+                 efc['c_active'], tget('t_active')),
       oneside=cat(jnp.zeros_like(efc['e_active']), jnp.zeros(nv, bool),
-                  jnp.ones(max(nl, 1), bool), jnp.ones_like(efc['c_active'])),
+                  jnp.ones(max(nl, 1), bool), jnp.ones_like(efc['c_active']),
+                  tb),
       pos=cat(efc['e_pos'], jnp.zeros(nv, dtype), efc['l_pos'],
-              efc['c_pos']))
+              efc['c_pos'], tget('t_pos')))
   if elliptic and ncr:
     # scatter frictionless (c block) and elliptic (x block) rows into the
     # dense slot-ordered layout; invalid x axes map to row nefc (dropped)

@@ -195,6 +195,54 @@ def _names(m: mujoco.MjModel, obj: mujoco.mjtObj, n: int) -> tuple:
 _AUTO_NCON_CAP = 64
 
 
+def _parse_tendons(m: mujoco.MjModel) -> dict:
+  """Static tendon structure: fixed tendons (joint couplings) become
+  constant length/Jacobian coefficient matrices; spatial tendons are
+  straight site-to-site chains. Wrapping geoms, pulleys, and tendon
+  frictionloss raise loudly (mjlab's robots use none of these;
+  reference parity surface is limit/spring/damper/actuation)."""
+  nt = int(m.ntendon)
+  out = dict(ntendon=nt,
+             ten_is_fixed=np.zeros(max(nt, 1), bool),
+             ten_coef_q=np.zeros((max(nt, 1), m.nq)),
+             ten_coef_v=np.zeros((max(nt, 1), m.nv)),
+             ten_site_chains=(),
+             ten_limited=np.zeros(max(nt, 1), bool))
+  if not nt:
+    return out
+  if (np.asarray(m.tendon_frictionloss)[:nt] != 0).any():
+    raise NotImplementedError('tendon frictionloss not supported')
+  chains = []
+  W_JOINT = int(mujoco.mjtWrap.mjWRAP_JOINT)
+  W_SITE = int(mujoco.mjtWrap.mjWRAP_SITE)
+  for t in range(nt):
+    adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+    wt = m.wrap_type[adr:adr + num]
+    if all(w == W_JOINT for w in wt):
+      out['ten_is_fixed'][t] = True
+      chains.append(())
+      for w in range(adr, adr + num):
+        j = int(m.wrap_objid[w])
+        if m.jnt_type[j] not in (int(mujoco.mjtJoint.mjJNT_HINGE),
+                                 int(mujoco.mjtJoint.mjJNT_SLIDE)):
+          raise NotImplementedError(
+              'fixed tendons support hinge/slide joints only')
+        out['ten_coef_q'][t, int(m.jnt_qposadr[j])] += m.wrap_prm[w]
+        out['ten_coef_v'][t, int(m.jnt_dofadr[j])] += m.wrap_prm[w]
+    elif all(w == W_SITE for w in wt):
+      if num < 2:
+        raise NotImplementedError('spatial tendon needs >= 2 sites')
+      chains.append(tuple(int(m.wrap_objid[w])
+                          for w in range(adr, adr + num)))
+    else:
+      raise NotImplementedError(
+          'tendon wrapping geoms / pulleys not supported (site chains '
+          'and fixed joint couplings only)')
+  out['ten_site_chains'] = tuple(chains)
+  out['ten_limited'][:nt] = m.tendon_limited[:nt].astype(bool)
+  return out
+
+
 def put_model(m: mujoco.MjModel, dtype=jnp.float32,
               ncon_cap: 'int | None' = None) -> Model:
   """Convert a compiled mujoco.MjModel to the engine Model pytree.
@@ -210,8 +258,7 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32,
       raise NotImplementedError(
           f'equality type {m.eq_type[e]} unsupported (connect/weld/joint '
           'are implemented)')
-  if m.ntendon:
-    raise NotImplementedError('tendons not yet supported')
+  ten_static = _parse_tendons(m)
 
   for j in range(m.njnt):
     if m.jnt_type[j] not in (int(mujoco.mjtJoint.mjJNT_FREE),
@@ -227,7 +274,35 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32,
         if m.jnt_type[j] in (int(mujoco.mjtJoint.mjJNT_FREE),):
           raise NotImplementedError('free joint must be alone on its body')
   if m.na:
-    raise NotImplementedError('actuator activation dynamics not supported')
+    ok_dyn = (int(mujoco.mjtDyn.mjDYN_NONE),
+              int(mujoco.mjtDyn.mjDYN_INTEGRATOR),
+              int(mujoco.mjtDyn.mjDYN_FILTER),
+              int(mujoco.mjtDyn.mjDYN_FILTEREXACT))
+    for u in range(m.nu):
+      if int(m.actuator_dyntype[u]) not in ok_dyn:
+        raise NotImplementedError(
+            f'actuator dyntype {m.actuator_dyntype[u]} unsupported '
+            '(none/integrator/filter/filterexact are implemented)')
+      if int(m.actuator_actnum[u]) > 1:
+        raise NotImplementedError('multi-state actuators not supported')
+      if m.actuator_actearly[u]:
+        raise NotImplementedError('actearly not supported')
+  _TRN_J = int(mujoco.mjtTrn.mjTRN_JOINT)
+  _TRN_T = int(mujoco.mjtTrn.mjTRN_TENDON)
+  for u in range(m.nu):
+    if int(m.actuator_trntype[u]) not in (_TRN_J, _TRN_T):
+      raise NotImplementedError(
+          f'actuator transmission {m.actuator_trntype[u]} unsupported '
+          '(joint and tendon transmissions are implemented)')
+  if m.ntendon and int(m.opt.integrator) in (
+      int(mujoco.mjtIntegrator.mjINT_IMPLICIT),
+      int(mujoco.mjtIntegrator.mjINT_IMPLICITFAST)):
+    has_ten_act = any(int(t) == _TRN_T for t in m.actuator_trntype)
+    if has_ten_act or (np.asarray(m.tendon_damping)[:m.ntendon] != 0).any():
+      raise NotImplementedError(
+          'implicit integrators with tendon damping/actuators not '
+          'supported (their velocity derivative is non-diagonal); use '
+          'integrator="Euler"')
   if m.nhfield > 1:
     raise NotImplementedError('at most one heightfield supported')
   pairs = _build_pairs(m)
@@ -342,6 +417,11 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32,
       ncon_cap1=ncon_cap1,
       nmocap=int(m.nmocap),
       body_mocapid=m.body_mocapid.copy().astype(np.int32),
+      na=int(m.na),
+      actuator_dyntype=m.actuator_dyntype.copy().astype(np.int32),
+      actuator_actadr=m.actuator_actadr.copy().astype(np.int32),
+      actuator_actlimited=m.actuator_actlimited.copy().astype(bool),
+      **ten_static,
       neq=int(m.neq),
       eq_type=m.eq_type.copy().astype(np.int32),
       eq_obj1=m.eq_obj1id.copy().astype(np.int32),
@@ -411,6 +491,22 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32,
       eq_solimp=a(m.eq_solimp if m.neq else np.zeros((1, 5))),
       eq_active0=a(m.eq_active0.astype(np.float64) if m.neq
                    else np.zeros(1)),
+      actuator_dynprm=a(m.actuator_dynprm[:, :3] if m.nu
+                        else np.zeros((1, 3))),
+      actuator_actrange=a(m.actuator_actrange if m.nu
+                          else np.zeros((1, 2))),
+      tendon_stiffness=a(m.tendon_stiffness if m.ntendon else np.zeros(1)),
+      tendon_damping=a(m.tendon_damping if m.ntendon else np.zeros(1)),
+      tendon_lengthspring=a(m.tendon_lengthspring if m.ntendon
+                            else np.zeros((1, 2))),
+      tendon_range=a(m.tendon_range if m.ntendon else np.zeros((1, 2))),
+      tendon_solref_lim=a(m.tendon_solref_lim if m.ntendon
+                          else np.zeros((1, 2))),
+      tendon_solimp_lim=a(m.tendon_solimp_lim if m.ntendon
+                          else np.zeros((1, 5))),
+      tendon_margin=a(m.tendon_margin if m.ntendon else np.zeros(1)),
+      tendon_invweight0=a(m.tendon_invweight0 if m.ntendon
+                          else np.ones(1)),
   )
   return jax.device_put(model)
 
@@ -421,6 +517,8 @@ def nefc_max(stat: ModelStatic) -> int:
   from mjlab_tpu.physics.constraint import equality_rows_count
   nfric = int(stat.nv) + equality_rows_count(stat)
   nlimit = int(stat.jnt_limited.sum())
+  if stat.ntendon:
+    nlimit += int(stat.ten_limited[:stat.ntendon].sum())
   if stat.ncon_cap or stat.ncon_cap1:
     # compacted: pyramidal (or elliptic) rows for the frictional pool +
     # one normal row per frictionless-pool slot
@@ -475,6 +573,11 @@ def make_data(model: Model, dtype=jnp.float32) -> Data:
       mocap_quat=(model.body_quat[np.nonzero(s.body_mocapid >= 0)[0]]
                   .astype(dtype) if s.nmocap
                   else jnp.asarray([[1.0, 0, 0, 0]], dtype)),
+      ten_length=z(max(s.ntendon, 1)),
+      ten_velocity=z(max(s.ntendon, 1)),
+      ten_J=z(max(s.ntendon, 1), s.nv),
+      act=z(max(s.na, 1)),
+      act_dot=z(max(s.na, 1)),
       xpos=z(s.nbody, 3),
       xquat=z(s.nbody, 4).at[:, 0].set(1.0),
       xmat=jnp.tile(jnp.eye(3, dtype=dtype), (s.nbody, 1, 1)),

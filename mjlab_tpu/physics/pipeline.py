@@ -42,6 +42,7 @@ def fwd_position(m: Model, d: Data) -> Data:
   d = _kinematics.com_pos(m, d)
   d = _smooth.crb(m, d)
   d = _collision.collision(m, d)
+  d = _smooth.tendon(m, d)
   d = _smooth.transmission(m, d)
   return d
 
@@ -79,6 +80,8 @@ def _actuator_vel_deriv(m: Model, d: Data) -> jax.Array:
         limited,
         jnp.clip(ctrl, m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]),
         ctrl)
+  if s.na:
+    ctrl, _ = _smooth._act_input(s, m, d, ctrl)
   gain_vel = jnp.where(
       jnp.asarray(s.actuator_gaintype == int(GainType.FIXED)), 0.0,
       m.actuator_gainprm[:, 2])
@@ -102,11 +105,15 @@ def _actuator_vel_deriv(m: Model, d: Data) -> jax.Array:
                          (force >= m.actuator_forcerange[:, 1]))
   dforce_dvel = jnp.where(clamped, 0.0, dforce_dvel)
   gear = m.actuator_gear[:, 0]
-  jid = s.actuator_trnid[:, 0]
+  # joint transmissions only: tendon actuators are gated out of the
+  # implicit integrators at put_model (non-diagonal velocity derivative)
+  jsel, _ = _smooth._trn_groups(s)
+  jid = s.actuator_trnid[jsel, 0]
   dadr = s.jnt_dofadr[jid]
   if s.disableflags & DisableBit.ACTUATION:
     return jnp.zeros(s.nv, dtype)
-  return jnp.zeros(s.nv, dtype).at[dadr].add(gear * gear * dforce_dvel)
+  return jnp.zeros(s.nv, dtype).at[dadr].add(
+      gear[jsel] * gear[jsel] * dforce_dvel[jsel])
 
 
 def _integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
@@ -140,9 +147,30 @@ def _integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
   return out
 
 
+def _advance_act(m: Model, d: Data, dt) -> Data:
+  """Integrate actuator activation states: Euler for integrator/filter,
+  exact exponential for filterexact; clamp to actrange (mj_advance)."""
+  s = m.stat
+  if not s.na:
+    return d
+  asel, aidx = _smooth._act_groups(s)
+  dyn = np.asarray(s.actuator_dyntype)[asel]
+  dot = d.act_dot[aidx]
+  tau = jnp.maximum(m.actuator_dynprm[asel, 0], 1e-15)
+  inc = jnp.where(jnp.asarray(dyn == _smooth._DYN_FILTEREXACT),
+                  dot * tau * (1.0 - jnp.exp(-dt / tau)), dt * dot)
+  act_u = d.act[aidx] + inc
+  lim = np.asarray(s.actuator_actlimited)[asel]
+  rng = m.actuator_actrange[asel]
+  act_u = jnp.where(jnp.asarray(lim),
+                    jnp.clip(act_u, rng[:, 0], rng[:, 1]), act_u)
+  return d.replace(act=d.act.at[aidx].set(act_u))
+
+
 def _euler(m: Model, d: Data) -> Data:
   s = m.stat
   dt = m.opt.timestep.astype(d.qpos.dtype)
+  d = _advance_act(m, d, dt)
   qacc = d.qacc
   if not (s.disableflags & DisableBit.EULERDAMP):
     # implicit damping: (M + dt*diag(B)) a = qfrc_smooth + qfrc_constraint
@@ -158,6 +186,7 @@ def _euler(m: Model, d: Data) -> Data:
 
 def _implicitfast(m: Model, d: Data) -> Data:
   dt = m.opt.timestep.astype(d.qpos.dtype)
+  d = _advance_act(m, d, dt)
   deriv = m.dof_damping - _actuator_vel_deriv(m, d)  # -d qfrc/d qvel
   A = d.qM + dt * jnp.diag(deriv)
   rhs = d.qfrc_smooth + d.qfrc_constraint

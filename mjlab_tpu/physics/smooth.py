@@ -82,6 +82,50 @@ def rne(m: Model, d: Data) -> Data:
   return d.replace(qfrc_bias=qfrc_bias)
 
 
+def tendon(m: Model, d: Data) -> Data:
+  """Tendon lengths, velocities, and (ntendon, nv) Jacobian rows.
+
+  Fixed tendons are constant coefficient rows (compile-time matrices);
+  spatial tendons are straight site-to-site chains: L = sum ||p_i+1 -
+  p_i||, J = sum u^T (Jp_i+1 - Jp_i). MuJoCo mj_tendon parity for the
+  supported surface (no wrapping geoms/pulleys, gated in io.put_model)."""
+  s = m.stat
+  if not s.ntendon:
+    return d
+  dtype = d.qpos.dtype
+  Wq = jnp.asarray(s.ten_coef_q, dtype)
+  Wv = jnp.asarray(s.ten_coef_v, dtype)
+  lengths = Wq @ d.qpos
+  J = jnp.broadcast_to(Wv, (s.ntendon, s.nv))
+  anc = jnp.asarray(s.ancestor_mask, dtype)
+  cdof_ang = d.cdof[:, :3]
+  cdof_lin = d.cdof[:, 3:]
+
+  def point_jac(body, p):
+    croot = d.subtree_com[int(s.body_rootid[body])]
+    col = cdof_lin + jnp.cross(cdof_ang, p[None, :] - croot[None, :])
+    return col * anc[body][:, None]  # (nv, 3)
+
+  for t, chain in enumerate(s.ten_site_chains):
+    if not chain:
+      continue
+    L = jnp.zeros((), dtype)
+    row = jnp.zeros(s.nv, dtype)
+    for a, b in zip(chain[:-1], chain[1:]):
+      pa, pb = d.site_xpos[a], d.site_xpos[b]
+      seg = pb - pa
+      ln = jnp.sqrt(jnp.maximum(jnp.sum(seg * seg), 1e-24))
+      u = seg / ln
+      L = L + ln
+      ja = point_jac(int(s.site_bodyid[a]), pa)
+      jb = point_jac(int(s.site_bodyid[b]), pb)
+      row = row + (jb - ja) @ u
+    lengths = lengths.at[t].set(L)
+    J = J.at[t].set(row)
+  return d.replace(ten_length=lengths, ten_J=J,
+                   ten_velocity=J @ d.qvel)
+
+
 def passive(m: Model, d: Data) -> Data:
   """Spring and damper passive forces (fluid forces unsupported)."""
   s = m.stat
@@ -117,27 +161,77 @@ def passive(m: Model, d: Data) -> Data:
         qfrc_spring = qfrc_spring.at[dadr + 3 + i].set(-stiff * drot[:, i])
 
   qfrc_damper = -m.dof_damping * d.qvel
+
+  if s.ntendon:
+    # deadband spring (mj_passive tendon semantics) + damper
+    L = d.ten_length
+    ls = m.tendon_lengthspring
+    disp = jnp.where(L < ls[:, 0], ls[:, 0] - L,
+                     jnp.where(L > ls[:, 1], ls[:, 1] - L, 0.0))
+    f_spring = m.tendon_stiffness * disp
+    f_damper = -m.tendon_damping * d.ten_velocity
+    qfrc_spring = qfrc_spring + f_spring @ d.ten_J
+    qfrc_damper = qfrc_damper + f_damper @ d.ten_J
+
   return d.replace(
       qfrc_passive=qfrc_spring + qfrc_damper,
       qfrc_spring=qfrc_spring,
       qfrc_damper=qfrc_damper)
 
 
-def transmission(m: Model, d: Data) -> Data:
-  """Actuator lengths/velocities for scalar joint transmissions.
+_TRN_JOINT = 0
+_TRN_TENDON = 3
+_DYN_INTEGRATOR = 1
+_DYN_FILTEREXACT = 3
 
-  Only mjTRN_JOINT on hinge/slide joints is supported (the reference's PD
-  actuator synthesis creates exactly these, reference
-  src/mjlab/utils/spec_config.py:400-453)."""
+
+def _act_groups(s):
+  """Static (actuator ids with activation state, their act slots)."""
+  actadr = np.asarray(s.actuator_actadr)
+  asel = np.nonzero(actadr >= 0)[0]
+  return asel, actadr[asel]
+
+
+def _act_input(s, m, d, ctrl):
+  """(actuator input vector with act substituted, act_dot (na,))."""
+  asel, aidx = _act_groups(s)
+  act_u = d.act[aidx]
+  inp = ctrl.at[asel].set(act_u)
+  dyn = np.asarray(s.actuator_dyntype)[asel]
+  tau = jnp.maximum(m.actuator_dynprm[asel, 0], 1e-15)
+  dot = jnp.where(jnp.asarray(dyn == _DYN_INTEGRATOR), ctrl[asel],
+                  (ctrl[asel] - act_u) / tau)
+  act_dot = jnp.zeros_like(d.act_dot).at[aidx].set(dot)
+  return inp, act_dot
+
+
+def _trn_groups(s):
+  """Static actuator index groups by transmission type."""
+  trn = np.asarray(s.actuator_trntype)
+  return (np.nonzero(trn == _TRN_JOINT)[0],
+          np.nonzero(trn == _TRN_TENDON)[0])
+
+
+def transmission(m: Model, d: Data) -> Data:
+  """Actuator lengths/velocities for joint and tendon transmissions
+  (mjTRN_JOINT on hinge/slide — the reference's PD actuator synthesis,
+  reference src/mjlab/utils/spec_config.py:400-453 — plus mjTRN_TENDON)."""
   s = m.stat
   if s.nu == 0:
     return d
-  jid = s.actuator_trnid[:, 0]
-  qadr = s.jnt_qposadr[jid]
-  dadr = s.jnt_dofadr[jid]
+  dtype = d.qpos.dtype
   gear = m.actuator_gear[:, 0]
-  length = d.qpos[qadr] * gear
-  velocity = d.qvel[dadr] * gear
+  jsel, tsel = _trn_groups(s)
+  length = jnp.zeros(s.nu, dtype)
+  velocity = jnp.zeros(s.nu, dtype)
+  if len(jsel):
+    jid = s.actuator_trnid[jsel, 0]
+    length = length.at[jsel].set(d.qpos[s.jnt_qposadr[jid]] * gear[jsel])
+    velocity = velocity.at[jsel].set(d.qvel[s.jnt_dofadr[jid]] * gear[jsel])
+  if len(tsel):
+    tid = s.actuator_trnid[tsel, 0]
+    length = length.at[tsel].set(d.ten_length[tid] * gear[tsel])
+    velocity = velocity.at[tsel].set(d.ten_velocity[tid] * gear[tsel])
   return d.replace(actuator_length=length, actuator_velocity=velocity)
 
 
@@ -159,6 +253,13 @@ def actuation(m: Model, d: Data) -> Data:
                        m.actuator_ctrlrange[:, 1])
     ctrl = jnp.where(limited, clamped, ctrl)
 
+  # activation dynamics: stateful actuators drive force from `act`,
+  # with act_dot = ctrl (integrator) or (ctrl - act)/tau (filter[exact])
+  inp = ctrl
+  if s.na:
+    inp, act_dot = _act_input(s, m, d, ctrl)
+    d = d.replace(act_dot=act_dot)
+
   gain = jnp.where(
       jnp.asarray(s.actuator_gaintype == int(GainType.FIXED)),
       m.actuator_gainprm[:, 0],
@@ -169,18 +270,24 @@ def actuation(m: Model, d: Data) -> Data:
       m.actuator_biasprm[:, 0] + m.actuator_biasprm[:, 1] * d.actuator_length
       + m.actuator_biasprm[:, 2] * d.actuator_velocity,
       0.0)
-  force = gain * ctrl + bias
+  force = gain * inp + bias
   limited_f = jnp.asarray(s.actuator_forcelimited.astype(bool))
   force = jnp.where(
       limited_f,
       jnp.clip(force, m.actuator_forcerange[:, 0], m.actuator_forcerange[:, 1]),
       force)
 
-  # scalar joint transmission: qfrc[dof] += gear * force
-  jid = s.actuator_trnid[:, 0]
-  dadr = s.jnt_dofadr[jid]
-  qfrc_actuator = jnp.zeros(s.nv, dtype).at[dadr].add(
-      m.actuator_gear[:, 0] * force)
+  # scalar transmissions: qfrc += J_trn^T (gear * force)
+  jsel, tsel = _trn_groups(s)
+  qfrc_actuator = jnp.zeros(s.nv, dtype)
+  if len(jsel):
+    jid = s.actuator_trnid[jsel, 0]
+    qfrc_actuator = qfrc_actuator.at[s.jnt_dofadr[jid]].add(
+        m.actuator_gear[jsel, 0] * force[jsel])
+  if len(tsel):
+    tid = s.actuator_trnid[tsel, 0]
+    qfrc_actuator = qfrc_actuator + (
+        m.actuator_gear[tsel, 0] * force[tsel]) @ d.ten_J[tid]
   return d.replace(actuator_force=force, qfrc_actuator=qfrc_actuator)
 
 

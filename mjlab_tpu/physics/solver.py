@@ -366,12 +366,20 @@ def solve(m: Model, d: Data, efc) -> Data:
   ls_polish = max(1, min((int(s.ls_iterations) - 10) // 4, 6))
   lay = _constraint.efc_layout(s)
   ne = lay.ne
-  if ne:
-    # bilateral equality rows join the dense block at the FRONT
-    cJ = jnp.concatenate([efc['e_J'], efc['c_J']], axis=0)
-    c_aref = jnp.concatenate([efc['e_aref'], efc['c_aref']])
-    c_D = jnp.concatenate([efc['e_D'], efc['c_D']])
-    c_act = jnp.concatenate([efc['e_active'], efc['c_active']])
+  nlt = lay.nlt
+  if ne or nlt:
+    # dense block gains prefix rows: bilateral equality rows at the
+    # FRONT, then tendon-limit rows (one-sided), then contacts
+    pre_J = ([efc['e_J']] if ne else []) + ([efc['t_J']] if nlt else [])
+    pre_a = ([efc['e_aref']] if ne else []) + ([efc['t_aref']] if nlt
+                                               else [])
+    pre_D = ([efc['e_D']] if ne else []) + ([efc['t_D']] if nlt else [])
+    pre_c = ([efc['e_active']] if ne else []) + ([efc['t_active']] if nlt
+                                                 else [])
+    cJ = jnp.concatenate(pre_J + [efc['c_J']], axis=0)
+    c_aref = jnp.concatenate(pre_a + [efc['c_aref']])
+    c_D = jnp.concatenate(pre_D + [efc['c_D']])
+    c_act = jnp.concatenate(pre_c + [efc['c_active']])
   else:
     cJ, c_aref, c_D, c_act = (efc['c_J'], efc['c_aref'], efc['c_D'],
                               efc['c_active'])
@@ -399,9 +407,12 @@ def solve(m: Model, d: Data, efc) -> Data:
     if lay.nl:
       efc_force = efc_force.at[ne + s.nv + jnp.arange(lay.nl)].set(
           fl[:lay.nl])
+    if nlt:
+      efc_force = efc_force.at[ne + s.nv + lay.nl + jnp.arange(nlt)].set(
+          fc[ne:ne + nlt])
     if len(c1_rows):
       efc_force = efc_force.at[jnp.asarray(c1_rows)].set(
-          fc[ne:ne + len(c1_rows)], mode='drop')
+          fc[ne + nlt:ne + nlt + len(c1_rows)], mode='drop')
     if x_rows.shape[0] and fx.shape[0] == x_rows.shape[0]:
       efc_force = efc_force.at[jnp.asarray(x_rows).ravel()].set(
           fx.reshape(-1), mode='drop')
@@ -414,9 +425,16 @@ def solve(m: Model, d: Data, efc) -> Data:
         efc['f_aref'], efc['f_D'], efc['f_floss'], efc['f_active'])
     qfrc_constraint = (ff + cJ.T @ fc).at[
         jnp.asarray(ldof)].add(efc['l_sign'] * fl)
-    # dense efc_force in MuJoCo row order [equality|friction|limit|contact]
-    parts = ([fc[:ne], ff, fl[:lay.nl], fc[ne:ne + lay.ncr]] if ne
-             else [ff, fl[:lay.nl], fc[:lay.ncr]])
+    # dense efc_force in MuJoCo row order
+    # [equality | friction | joint limits | tendon limits | contacts]
+    parts = []
+    if ne:
+      parts.append(fc[:ne])
+    parts.append(ff)
+    parts.append(fl[:lay.nl])
+    if nlt:
+      parts.append(fc[ne:ne + nlt])
+    parts.append(fc[ne + nlt:ne + nlt + lay.ncr])
     efc_force = jnp.concatenate([p for p in parts if p.shape[0]], axis=0)
   return d.replace(
       qacc=x,

@@ -255,6 +255,23 @@ class ModelStatic(StaticBase):
   nmocap: int = 0
   body_mocapid: np.ndarray = None  # (nbody,) -1 for non-mocap
 
+  # tendons: fixed (joint-coupling) rows are compile-time constant
+  # Jacobians; spatial tendons are straight site-to-site chains (wrapping
+  # geoms/pulleys unsupported, loud error at build)
+  # actuator activation states (filter / filterexact / integrator
+  # dynamics; muscle and user dynamics are gated at build)
+  na: int = 0
+  actuator_dyntype: np.ndarray = None  # (nu,) mjtDyn
+  actuator_actadr: np.ndarray = None   # (nu,) act index, -1 = stateless
+  actuator_actlimited: np.ndarray = None  # (nu,) bool
+
+  ntendon: int = 0
+  ten_is_fixed: np.ndarray = None    # (ntendon,) bool
+  ten_coef_q: np.ndarray = None      # (ntendon, nq) fixed: L = W_q @ qpos
+  ten_coef_v: np.ndarray = None      # (ntendon, nv) fixed: J row
+  ten_site_chains: tuple = ()        # per-tendon tuple of site ids
+  ten_limited: np.ndarray = None     # (ntendon,) bool
+
   # equality constraints (connect/weld/joint); rows are assembled ahead
   # of friction/limit/contact in MuJoCo's efc order
   neq: int = 0
@@ -337,6 +354,20 @@ class Model:
   eq_solimp: jax.Array = None   # (neq, 5)
   eq_active0: jax.Array = None  # (neq,) float 0/1
 
+  # actuator activation dynamics ((1,…) placeholders when na == 0)
+  actuator_dynprm: jax.Array = None    # (nu, 3) tau in [..., 0]
+  actuator_actrange: jax.Array = None  # (nu, 2)
+
+  # tendons ((1,…)-shaped placeholders when ntendon == 0)
+  tendon_stiffness: jax.Array = None     # (ntendon,)
+  tendon_damping: jax.Array = None       # (ntendon,)
+  tendon_lengthspring: jax.Array = None  # (ntendon, 2) deadband
+  tendon_range: jax.Array = None         # (ntendon, 2)
+  tendon_solref_lim: jax.Array = None    # (ntendon, 2)
+  tendon_solimp_lim: jax.Array = None    # (ntendon, 5)
+  tendon_margin: jax.Array = None        # (ntendon,)
+  tendon_invweight0: jax.Array = None    # (ntendon,)
+
 
 @struct.dataclass
 class Contact:
@@ -412,3 +443,12 @@ class Data:
   # model has no mocap bodies (set from the host, consumed by kinematics)
   mocap_pos: jax.Array = None
   mocap_quat: jax.Array = None
+
+  # tendon state ((1, …) placeholders when ntendon == 0)
+  ten_length: jax.Array = None    # (ntendon,)
+  ten_velocity: jax.Array = None  # (ntendon,)
+  ten_J: jax.Array = None         # (ntendon, nv)
+
+  # actuator activation state ((1,) placeholders when na == 0)
+  act: jax.Array = None      # (na,)
+  act_dot: jax.Array = None  # (na,)
