@@ -20,10 +20,14 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 # Persistent compile cache: full-env CPU compiles dominate suite wall
-# time (minutes each); cached reruns take seconds.
+# time (minutes each); cached reruns take seconds. Host-fingerprinted:
+# XLA:CPU AOT executables from another machine SIGSEGV on load
+# (mjlab_tpu/utils/cache.py).
+from mjlab_tpu.utils.cache import cpu_cache_dir  # noqa: E402
+
 jax.config.update(
     'jax_compilation_cache_dir',
-    os.path.join(os.path.dirname(os.path.dirname(__file__)), '.jax_cache'))
+    cpu_cache_dir(os.path.dirname(os.path.dirname(__file__))))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 assert jax.default_backend() == 'cpu', (
