@@ -713,8 +713,10 @@ _COLLIDERS = {
 }
 
 
-def _mix_params(m: Model, g1: np.ndarray, g2: np.ndarray):
-  """Contact parameter combination, mirroring mj_contactParam."""
+def _mix_params(m: Model, g1: np.ndarray, g2: np.ndarray,
+                pairids: np.ndarray):
+  """Contact parameter combination, mirroring mj_contactParam; explicit
+  <pair> slots (pairids >= 0, static) take the pair_* fields verbatim."""
   s = m.stat
   p1 = s.geom_priority[g1]
   p2 = s.geom_priority[g2]
@@ -750,9 +752,19 @@ def _mix_params(m: Model, g1: np.ndarray, g2: np.ndarray):
   friction = jnp.stack(
       [fric3[:, 0], fric3[:, 0], fric3[:, 1], fric3[:, 2], fric3[:, 2]], -1)
 
+  # includemargin == margin: MuJoCo 3.10's gap attribute is parsed but
+  # has no observable effect on contact inclusion, efc reference, or
+  # accelerations (verified empirically vs mj_forward) — mirror that.
   margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
-  gap = jnp.maximum(m.geom_gap[g1], m.geom_gap[g2])
-  return friction, solref, solimp, margin - gap, margin
+
+  if (pairids >= 0).any():  # static: free when the group has no <pair>s
+    is_pair = jnp.asarray(pairids >= 0)
+    pid = jnp.asarray(np.maximum(pairids, 0))
+    friction = jnp.where(is_pair[:, None], m.pair_friction[pid], friction)
+    solref = jnp.where(is_pair[:, None], m.pair_solref[pid], solref)
+    solimp = jnp.where(is_pair[:, None], m.pair_solimp[pid], solimp)
+    margin = jnp.where(is_pair, m.pair_margin[pid], margin)
+  return friction, solref, solimp, margin
 
 
 def collision(m: Model, d: Data) -> Data:
@@ -769,7 +781,7 @@ def collision(m: Model, d: Data) -> Data:
   solimp = con.solimp
   includemargin = con.includemargin
 
-  for key, (g1s, g2s, base, npts) in s.pairs.groups.items():
+  for key, (g1s, g2s, pids, base, npts) in s.pairs.groups.items():
     n = len(g1s)
     ct1 = None
     if key in _HF_COLLIDERS:
@@ -791,10 +803,10 @@ def collision(m: Model, d: Data) -> Data:
       ct1 = ct1.reshape(n * npts, 3)
       fr = jnp.stack([cn, ct1, jnp.cross(cn, ct1)], axis=-2)
 
-    fric, sr, si, inc, marg = _mix_params(m, g1s, g2s)
+    fric, sr, si, inc = _mix_params(m, g1s, g2s, pids)
     rep = lambda x: jnp.repeat(x, npts, axis=0)
-    # margin shifts the activation threshold: contact is included when
-    # dist < margin; its constraint penetration reference uses includemargin.
+    # includemargin (== margin) is both the activation threshold
+    # (dist < includemargin) and the efc penetration reference
     sl = slice(base, base + n * npts)
     dist = dist.at[sl].set(cd)
     pos = pos.at[sl].set(cp)

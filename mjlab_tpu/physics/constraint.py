@@ -113,20 +113,11 @@ def efc_layout(stat: ModelStatic) -> EfcLayout:
         limit_jnt=limit_jnt, limit_base=limit_base,
         con_base=con_base, con_rows=con_rows, limit_ten=limit_ten)
   ncon = max(stat.pairs.ncon_max, 1)
-  # recover static per-slot condim (same logic as io.make_data)
   con_rows = np.zeros(ncon, np.int32)
   con_base = np.zeros(ncon, np.int32)
   row = limit_base + len(limit_jnt) + nlt  # limit_base already includes ne
-  dims = np.ones(ncon, np.int32)
-  for _, (g1s, g2s, base, npts) in stat.pairs.groups.items():
-    for i, (g1, g2) in enumerate(zip(g1s, g2s)):
-      p1, p2 = stat.geom_priority[g1], stat.geom_priority[g2]
-      if p1 != p2:
-        condim = stat.geom_condim[g1] if p1 > p2 else stat.geom_condim[g2]
-      else:
-        condim = max(stat.geom_condim[g1], stat.geom_condim[g2])
-      sl = slice(base + i * npts, base + (i + 1) * npts)
-      dims[sl] = condim
+  # static per-slot condim (priority/pair-aware, io.contact_slot_meta)
+  dims = np.asarray(stat.con_dim[:ncon], np.int32)
   ell = stat.cone == 1
   for c in range(stat.pairs.ncon_max):
     con_base[c] = row
@@ -601,7 +592,12 @@ def _contacts_compacted(m: Model, d: Data, ts, refsafe, dtype):
     real_axis = jnp.arange(A)[None, :] < (dim[:, None] - 1)  # (K3, A)
     mu = jnp.where(real_axis, mu, 0.0)
     row_active = real_axis & act[:, None]
-    dA = invw[:, None] * (1.0 + mu * mu) * 2.0 * mu * mu / impratio
+    # diagApprox uses the FIRST friction coefficient for every pyramid
+    # row (incl. torsional/rolling) — oracle-verified vs mj_forward
+    mu0 = friction[:, 0:1]
+    dA = jnp.broadcast_to(
+        invw[:, None] * (1.0 + mu0 * mu0) * 2.0 * mu0 * mu0 / impratio,
+        mu.shape)
     r = jnp.maximum((1.0 - imp[:, None]) / imp[:, None] * dA, _MINVAL)
     D_axis = 1.0 / r
 
@@ -839,8 +835,12 @@ def make_efc(m: Model, d: Data):
                + signs[None, None, :, None] * (mu[..., None] * axes)[:, :, None, :])
       vrows = (vel_t[sl, 0][:, None, None]
                + signs[None, None, :] * (mu * vels)[:, :, None])
-      dA = (invw[sl][:, None] * (1.0 + mu * mu) * 2.0 * mu * mu
-            / m.opt.impratio.astype(dtype))  # (nsl, dim-1)
+      # diagApprox uses the FIRST friction coefficient for every pyramid
+      # row (incl. torsional/rolling) — oracle-verified vs mj_forward
+      mu0 = con.friction[sl, 0:1]
+      dA = jnp.broadcast_to(
+          invw[sl][:, None] * (1.0 + mu0 * mu0) * 2.0 * mu0 * mu0
+          / m.opt.impratio.astype(dtype), mu.shape)  # (nsl, dim-1)
       r = jnp.maximum((1.0 - imp[sl][:, None]) / imp[sl][:, None] * dA, _MINVAL)
       D_rows = jnp.repeat((1.0 / r)[:, :, None], 2, axis=2).reshape(nsl * k_rows)
       aref_rows = (-b[sl][:, None, None] * vrows

@@ -144,26 +144,41 @@ def _filter_pair(m: mujoco.MjModel, g1: int, g2: int) -> bool:
 
 def _build_pairs(m: mujoco.MjModel) -> CollisionPairs:
   groups: dict = {}
+
+  def add(g1: int, g2: int, pairid: int) -> None:
+    t1, t2 = int(m.geom_type[g1]), int(m.geom_type[g2])
+    a, b = (g1, g2) if t1 <= t2 else (g2, g1)
+    key = (min(t1, t2), max(t1, t2))
+    if key not in _COLLIDER_POINTS:
+      raise NotImplementedError(
+          f'no collider for geom type pair {GeomType(key[0]).name}-'
+          f'{GeomType(key[1]).name} (geoms {g1},{g2})')
+    groups.setdefault(key, ([], [], []))
+    groups[key][0].append(a)
+    groups[key][1].append(b)
+    groups[key][2].append(pairid)
+
+  # explicit <pair> elements first: always collided, bypassing
+  # contype/conaffinity and exclusion filters (mj_collision predefined
+  # branch, MuJoCo computation docs "Collision detection")
+  explicit = set()
+  for p in range(m.npair):
+    g1, g2 = int(m.pair_geom1[p]), int(m.pair_geom2[p])
+    explicit.add((min(g1, g2), max(g1, g2)))
+    add(g1, g2, p)
+  # dynamic generation skips geom pairs already predefined (MuJoCo
+  # dedups the same way)
   for g1 in range(m.ngeom):
     for g2 in range(g1 + 1, m.ngeom):
-      if not _filter_pair(m, g1, g2):
+      if (g1, g2) in explicit or not _filter_pair(m, g1, g2):
         continue
-      t1, t2 = int(m.geom_type[g1]), int(m.geom_type[g2])
-      a, b = (g1, g2) if t1 <= t2 else (g2, g1)
-      key = (min(t1, t2), max(t1, t2))
-      if key not in _COLLIDER_POINTS:
-        raise NotImplementedError(
-            f'no collider for geom type pair {GeomType(key[0]).name}-'
-            f'{GeomType(key[1]).name} (geoms {g1},{g2})')
-      groups.setdefault(key, ([], []))
-      groups[key][0].append(a)
-      groups[key][1].append(b)
+      add(g1, g2, -1)
   ncon = 0
   final = {}
   for key in sorted(groups):
-    g1s, g2s = groups[key]
-    final[key] = (np.asarray(g1s, np.int32), np.asarray(g2s, np.int32), ncon,
-                  _COLLIDER_POINTS[key])
+    g1s, g2s, pids = groups[key]
+    final[key] = (np.asarray(g1s, np.int32), np.asarray(g2s, np.int32),
+                  np.asarray(pids, np.int32), ncon, _COLLIDER_POINTS[key])
     ncon += len(g1s) * _COLLIDER_POINTS[key]
   return CollisionPairs(groups=final, ncon_max=ncon)
 
@@ -173,13 +188,16 @@ def contact_slot_meta(m: mujoco.MjModel, pairs: CollisionPairs):
   geom1 = np.zeros(max(pairs.ncon_max, 1), np.int32)
   geom2 = np.zeros(max(pairs.ncon_max, 1), np.int32)
   dim = np.ones(max(pairs.ncon_max, 1), np.int32)
-  for _, (g1s, g2s, base, npts) in pairs.groups.items():
-    for i, (g1, g2) in enumerate(zip(g1s, g2s)):
-      p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
-      if p1 != p2:
-        condim = m.geom_condim[g1] if p1 > p2 else m.geom_condim[g2]
+  for _, (g1s, g2s, pids, base, npts) in pairs.groups.items():
+    for i, (g1, g2, pid) in enumerate(zip(g1s, g2s, pids)):
+      if pid >= 0:
+        condim = int(m.pair_dim[pid])
       else:
-        condim = max(m.geom_condim[g1], m.geom_condim[g2])
+        p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
+        if p1 != p2:
+          condim = m.geom_condim[g1] if p1 > p2 else m.geom_condim[g2]
+        else:
+          condim = max(m.geom_condim[g1], m.geom_condim[g2])
       s = base + i * npts
       geom1[s:s + npts] = g1
       geom2[s:s + npts] = g2
@@ -305,6 +323,9 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32,
           'integrator="Euler"')
   if m.nhfield > 1:
     raise NotImplementedError('at most one heightfield supported')
+  if m.npair and (np.asarray(m.pair_solreffriction) != 0).any():
+    raise NotImplementedError(
+        'pair solreffriction (separate friction-row solref) not supported')
   pairs = _build_pairs(m)
   _, _, slot_dims = contact_slot_meta(m, pairs)
   n3_slots = int((slot_dims[:pairs.ncon_max] > 1).sum())
@@ -507,6 +528,10 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32,
       tendon_margin=a(m.tendon_margin if m.ntendon else np.zeros(1)),
       tendon_invweight0=a(m.tendon_invweight0 if m.ntendon
                           else np.ones(1)),
+      pair_friction=a(m.pair_friction if m.npair else np.zeros((1, 5))),
+      pair_solref=a(m.pair_solref if m.npair else np.zeros((1, 2))),
+      pair_solimp=a(m.pair_solimp if m.npair else np.zeros((1, 5))),
+      pair_margin=a(m.pair_margin if m.npair else np.zeros(1)),
   )
   return jax.device_put(model)
 
@@ -526,18 +551,12 @@ def nefc_max(stat: ModelStatic) -> int:
     k_rows = maxdim if stat.cone == 1 else 2 * max(maxdim - 1, 1)
     return nfric + nlimit + stat.ncon_cap * k_rows + stat.ncon_cap1
   ncontact_rows = 0
-  for _, (g1s, g2s, base, npts) in stat.pairs.groups.items():
-    del base
-    for g1, g2 in zip(g1s, g2s):
-      p1, p2 = stat.geom_priority[g1], stat.geom_priority[g2]
-      if p1 != p2:
-        condim = stat.geom_condim[g1] if p1 > p2 else stat.geom_condim[g2]
-      else:
-        condim = max(stat.geom_condim[g1], stat.geom_condim[g2])
-      rows = 1 if condim == 1 else 2 * (condim - 1)
-      if stat.cone == 1 and condim > 1:  # elliptic
-        rows = condim
-      ncontact_rows += rows * npts
+  for condim in stat.con_dim[:stat.pairs.ncon_max]:
+    condim = int(condim)
+    rows = 1 if condim == 1 else 2 * (condim - 1)
+    if stat.cone == 1 and condim > 1:  # elliptic
+      rows = condim
+    ncontact_rows += rows
   return nfric + nlimit + ncontact_rows
 
 

@@ -102,7 +102,7 @@ def _contact_sensors(stat: ModelStatic):
   ncon = max(stat.pairs.ncon_max, 1)
   slot_g1 = np.zeros(ncon, np.int32)
   slot_g2 = np.zeros(ncon, np.int32)
-  for _, (g1s, g2s, base, npts) in stat.pairs.groups.items():
+  for _, (g1s, g2s, _pids, base, npts) in stat.pairs.groups.items():
     for i, (g1, g2) in enumerate(zip(g1s, g2s)):
       slot_g1[base + i * npts:base + (i + 1) * npts] = g1
       slot_g2[base + i * npts:base + (i + 1) * npts] = g2

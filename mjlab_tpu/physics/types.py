@@ -126,7 +126,9 @@ class CollisionPairs(StaticBase):
   static total contact capacity `ncon_max` (the TPU analog of the
   reference's nconmax padding, reference src/mjlab/sim/sim.py:87-88).
   """
-  # dict: (GeomType, GeomType) -> (geom1 ids np[int], geom2 ids np[int])
+  # dict: (GeomType, GeomType) ->
+  #   (geom1 ids np[int], geom2 ids np[int], pairids np[int] (-1 dynamic),
+  #    slot base offset, points per pair)
   groups: dict
   # per-group contact slot base offsets, aligned with iteration order
   ncon_max: int
@@ -367,6 +369,14 @@ class Model:
   tendon_solimp_lim: jax.Array = None    # (ntendon, 5)
   tendon_margin: jax.Array = None        # (ntendon,)
   tendon_invweight0: jax.Array = None    # (ntendon,)
+
+  # explicit <pair> parameter overrides ((1,…) placeholders when
+  # npair == 0). Contacts from predefined pairs take these verbatim
+  # instead of geom-pair mixing (MuJoCo mj_collideGeoms pair branch).
+  pair_friction: jax.Array = None  # (npair, 5)
+  pair_solref: jax.Array = None    # (npair, 2)
+  pair_solimp: jax.Array = None    # (npair, 5)
+  pair_margin: jax.Array = None    # (npair,)
 
 
 @struct.dataclass
