@@ -133,6 +133,11 @@ def _make_kernel(iterations: int, ls_polish: int, n: int, ncr: int, nl: int,
     use_ws = total_cost(ws) < total_cost(a0)  # (1,BB)
     x = jnp.where(use_ws, ws, a0)
 
+    # upper-triangular H is never consumed (the Cholesky/tri-solves read
+    # the lower triangle only); zero it once so no uninitialized VMEM
+    # feeds the (discarded) upper arithmetic
+    h_ref[:, :, :] = jnp.zeros((n, n, h_ref.shape[-1]), M.dtype)
+
     for _ in range(iterations):
       jars = jars_of(x)
       (ff, fl, fc), (qf, ql, qc) = forces_of(jars)
@@ -140,25 +145,28 @@ def _make_kernel(iterations: int, ls_polish: int, n: int, ncr: int, nl: int,
       Dq_c = cD * qc  # (ncr,BB)
       diag = scatter_l(fD * qf, lD * ql)  # (n,BB)
 
-      # H = M + diag + cJ^T Dq_c cJ, column by column
+      # H = M + diag + cJ^T Dq_c cJ; symmetric, so build only the lower
+      # triangle (rows >= jcol) — halves the dominant VPU MAC count
       for jcol in range(n):
         w = cJ[:, jcol, :] * Dq_c  # (ncr,BB)
-        col = M[:, jcol, :] + jnp.sum(cJ * w[:, None, :], axis=0)
-        col = col + jnp.where(
-            (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == jcol),
+        low = (M[jcol:, jcol, :]
+               + jnp.sum(cJ[:, jcol:, :] * w[:, None, :], axis=0))
+        low = low + jnp.where(
+            (jax.lax.broadcasted_iota(jnp.int32, (n - jcol, 1), 0) == 0),
             diag[jcol:jcol + 1, :], 0.0)
-        h_ref[:, jcol, :] = col
+        h_ref[jcol:, jcol, :] = low
 
-      # Cholesky (+ tiny ridge)
+      # Cholesky (+ tiny ridge), lower rows only — the upper triangle of
+      # L is never read
       for jc_ in range(n):
         if jc_:
-          acc = jnp.sum(l_ref[:, :jc_, :] * l_ref[jc_:jc_ + 1, :jc_, :],
+          acc = jnp.sum(l_ref[jc_:, :jc_, :] * l_ref[jc_:jc_ + 1, :jc_, :],
                         axis=1)
-          col = h_ref[:, jc_, :] - acc
+          col = h_ref[jc_:, jc_, :] - acc
         else:
-          col = h_ref[:, jc_, :]
-        ddiag = jnp.sqrt(jnp.maximum(col[jc_:jc_ + 1, :] + 1e-12, 1e-12))
-        l_ref[:, jc_, :] = col / ddiag
+          col = h_ref[jc_:, jc_, :]
+        ddiag = jnp.sqrt(jnp.maximum(col[0:1, :] + 1e-12, 1e-12))
+        l_ref[jc_:, jc_, :] = col / ddiag
 
       # solve H dx = -grad
       ys = []
@@ -237,11 +245,11 @@ def _make_kernel(iterations: int, ls_polish: int, n: int, ncr: int, nl: int,
 
 @functools.partial(jax.jit,
                    static_argnames=('iterations', 'ls_polish', 'ldof',
-                                    'block_b'))
+                                    'block_b', 'interpret'))
 def newton_solve_tpu(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
                      l_act, f_aref, fD, floss, f_act,
                      iterations: int, ldof: tuple, ls_polish: int = 2,
-                     block_b: int = _LANES):
+                     block_b: int = _LANES, interpret: bool = False):
   """Batched structured Newton solve. Returns (qacc (B,n), ff (B,n),
   fl (B,nl), fc (B,ncr))."""
   B, n, _ = M.shape
@@ -291,6 +299,7 @@ def newton_solve_tpu(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
                  jax.ShapeDtypeStruct((ncr, Bp), M.dtype)],
       scratch_shapes=[pltpu.VMEM((n, n, block_b), M.dtype),
                       pltpu.VMEM((n, n, block_b), M.dtype)],
+      interpret=interpret,
   )(*args)
   x_t, ff_t, fl_t, fc_t = out
   back = lambda x: jnp.moveaxis(x, -1, 0)[:B]

@@ -323,6 +323,15 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32,
           'integrator="Euler"')
   if m.nhfield > 1:
     raise NotImplementedError('at most one heightfield supported')
+  if (m.opt.density != 0 or m.opt.viscosity != 0
+      or np.any(np.asarray(m.opt.wind) != 0)):
+    raise NotImplementedError(
+        'fluid forces (option density/viscosity/wind) not supported')
+  if m.opt.enableflags & int(mujoco.mjtEnableBit.mjENBL_OVERRIDE):
+    raise NotImplementedError('contact override (o_margin etc) not '
+                              'supported')
+  if m.opt.noslip_iterations > 0:
+    raise NotImplementedError('noslip post-solver not supported')
   if m.npair and (np.asarray(m.pair_solreffriction) != 0).any():
     raise NotImplementedError(
         'pair solreffriction (separate friction-row solref) not supported')

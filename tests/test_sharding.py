@@ -83,7 +83,7 @@ def test_sharded_ppo_iteration_matches_unsharded(go1_env, rl_cfg):
   flat_sh = jax.tree_util.tree_leaves(ts_out.params)
   for a, b in zip(flat_ref, flat_sh):
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                               rtol=1e-3, atol=1e-5)
+                               rtol=1e-3, atol=5e-5)
   # env state stays sharded through the iteration
   assert len(ts_out.env_state.data.qpos.devices()) == 8
 
