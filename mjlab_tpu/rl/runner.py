@@ -166,10 +166,10 @@ class OnPolicyRunner:
       # retrying on any failure: a genuine restore error (corrupt file,
       # shape mismatch after a config change) should surface as itself.
       ckptr = ocp.PyTreeCheckpointer()
-      try:
-        saved_keys = set(ckptr.metadata(path).keys())
-      except Exception:
-        saved_keys = set(template)
+      md = ckptr.metadata(path)
+      # orbax returns StepMetadata (newer) or a plain tree (older)
+      tree = getattr(getattr(md, 'item_metadata', md), 'tree', md)
+      saved_keys = set(tree.keys())
       if 'env_state' not in saved_keys:
         template.pop('env_state')
         template.pop('obs', None)

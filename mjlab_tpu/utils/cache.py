@@ -17,17 +17,34 @@ import platform
 
 
 def _host_fingerprint() -> str:
+  # The cpuinfo `flags` line alone is NOT discriminating enough: cloud
+  # hypervisors mask the model name and can expose identical flag sets
+  # on different microarchitectures, while XLA:CPU additionally bakes
+  # LLVM *tuning* features chosen from the CPUID model (observed:
+  # +prefer-no-scatter/+prefer-no-gather entries from a foreign host
+  # SIGABRTing on load here). CPUID family/model/stepping pass through
+  # virtualization and track the real part; include them plus the
+  # jaxlib version (serialization format).
+  parts = []
   try:
     with open('/proc/cpuinfo') as f:
       for line in f:
-        if line.startswith('flags'):
-          src = line
-          break
-      else:
-        src = platform.processor() or platform.machine()
+        key = line.split(':')[0].strip()
+        if key in ('flags', 'cpu family', 'model', 'stepping',
+                   'model name'):
+          parts.append(line.strip())
+          if key == 'flags':
+            break
   except OSError:
-    src = platform.processor() or platform.machine()
-  return hashlib.sha256(src.encode()).hexdigest()[:16]
+    pass
+  if not parts:
+    parts = [platform.processor() or platform.machine()]
+  try:
+    import jaxlib
+    parts.append(f'jaxlib={jaxlib.__version__}')
+  except Exception:
+    pass
+  return hashlib.sha256('|'.join(parts).encode()).hexdigest()[:16]
 
 
 def cpu_cache_dir(repo_root: str) -> str:
