@@ -584,20 +584,40 @@ def _min_extent(gtype: int, s):
   return jnp.min(s[..., :3], axis=-1)
 
 
-def _convex_pair(t1: int, t2: int):
-  """Collider for two convex solids: erode both by ~a quarter of their
+class _ConvexOps:
+  """Support/projection interface of one convex shape family. `s` is an
+  opaque per-pair shape parameter: geom_size for analytic solids, a
+  scalar scale factor for mesh hulls (shrinking a polytope about its
+  center is exact erosion up to face-distance anisotropy)."""
+
+  def __init__(self, proj, supp, shrink, minext):
+    self.proj = proj        # (p, mat, s, x_world) -> closest point in solid
+    self.supp = supp        # (p, mat, s, n_world) -> support point
+    self.shrink = shrink    # (s, delta) -> eroded shape param
+    self.minext = minext    # (s,) -> smallest half-extent
+
+
+def _ops_of(gtype: int) -> _ConvexOps:
+  proj, supp = _solid_ops(gtype)
+  return _ConvexOps(proj, supp,
+                    lambda s, dlt: _shrink_size(gtype, s, dlt),
+                    lambda s: _min_extent(gtype, s))
+
+
+def _convex_core(ops1: _ConvexOps, ops2: _ConvexOps):
+  """Collider for two convex shapes: erode both by ~a quarter of their
   smallest extent, find the closest pair of the eroded (now disjoint for
-  any shallow penetration) solids by alternating projection, and add the
+  any shallow penetration) shapes by alternating projection, and add the
   erosion back into the distance. Deeper overlap (beyond the erosion
   budget) falls back to a directional-support depth estimate."""
-  proj1, supp1 = _solid_ops(t1)
-  proj2, supp2 = _solid_ops(t2)
+  proj1, supp1 = ops1.proj, ops1.supp
+  proj2, supp2 = ops2.proj, ops2.supp
 
   def collide(p1, m1, s1, p2, m2, s2):
-    d1 = 0.25 * _min_extent(t1, s1)
-    d2 = 0.25 * _min_extent(t2, s2)
-    s1s = _shrink_size(t1, s1, d1)
-    s2s = _shrink_size(t2, s2, d2)
+    d1 = 0.25 * ops1.minext(s1)
+    d2 = 0.25 * ops2.minext(s2)
+    s1s = ops1.shrink(s1, d1)
+    s2s = ops2.shrink(s2, d2)
     a = p1
     b = p2
     for _ in range(48):
@@ -606,8 +626,19 @@ def _convex_pair(t1: int, t2: int):
     delta = b - a
     dn = jnp.linalg.norm(delta, axis=-1)
     n_sep = delta / jnp.maximum(dn, _MJMINVAL)[..., None]
-    dist_sep = dn - d1 - d2
-    pos_sep = 0.5 * (a + n_sep * d1[..., None] + b - n_sep * d2[..., None])
+    # add the erosion back as the exact support-plane displacement of
+    # each shrunk shape along the found normal (erosion-by-scaling moves
+    # faces far from the center by more than the nominal delta; the
+    # support gap measures the true displacement — exact for polytopes,
+    # and sharper than the nominal delta for scaled boxes/ellipsoids)
+    e1 = jnp.sum((supp1(p1, m1, s1, n_sep)
+                  - supp1(p1, m1, s1s, n_sep)) * n_sep, axis=-1)
+    e2 = jnp.sum((supp2(p2, m2, s2, -n_sep)
+                  - supp2(p2, m2, s2s, -n_sep)) * (-n_sep), axis=-1)
+    e1 = jnp.clip(e1, 0.0, None)
+    e2 = jnp.clip(e2, 0.0, None)
+    dist_sep = dn - e1 - e2
+    pos_sep = 0.5 * (a + n_sep * e1[..., None] + b - n_sep * e2[..., None])
     # eroded solids still overlap: deep penetration, support fallback
     in_b = jnp.linalg.norm(proj2(p2, m2, s2s, a) - a, axis=-1) < 1e-9
     in_a = jnp.linalg.norm(proj1(p1, m1, s1s, b) - b, axis=-1) < 1e-9
@@ -629,15 +660,19 @@ def _convex_pair(t1: int, t2: int):
   return collide
 
 
-def _capsule_convex(t2: int):
-  """Capsule (rounded segment) vs a convex solid."""
-  proj2, supp2 = _solid_ops(t2)
+def _convex_pair(t1: int, t2: int):
+  return _convex_core(_ops_of(t1), _ops_of(t2))
+
+
+def _capsule_convex_core(ops2: _ConvexOps):
+  """Capsule (rounded segment) vs a convex shape."""
+  proj2, supp2 = ops2.proj, ops2.supp
 
   def collide(p1, m1, s1, p2, m2, s2):
     r = s1[..., 0]
     a0, a1 = _capsule_ends(p1, m1, s1[..., 1])
-    d2 = 0.25 * _min_extent(t2, s2)
-    s2s = _shrink_size(t2, s2, d2)
+    d2 = 0.25 * ops2.minext(s2)
+    s2s = ops2.shrink(s2, d2)
 
     def proj_seg(x):
       ab = a1 - a0
@@ -653,7 +688,12 @@ def _capsule_convex(t2: int):
     delta = b - a
     dn = jnp.linalg.norm(delta, axis=-1)
     n = delta / jnp.maximum(dn, _MJMINVAL)[..., None]
-    dist = dn - r - d2
+    # exact support-plane displacement of the eroded shape along the
+    # found normal (see _convex_core)
+    e2 = jnp.sum((supp2(p2, m2, s2, -n)
+                  - supp2(p2, m2, s2s, -n)) * (-n), axis=-1)
+    e2 = jnp.clip(e2, 0.0, None)
+    dist = dn - r - e2
     pos = a + n * (r + 0.5 * dist)[..., None]
     # segment core inside the ERODED solid: deep penetration fallback —
     # center-direction normal + support depth past the near surface
@@ -672,6 +712,10 @@ def _capsule_convex(t2: int):
   return collide
 
 
+def _capsule_convex(t2: int):
+  return _capsule_convex_core(_ops_of(t2))
+
+
 def _sphere_ellipsoid(p1, m1, s1, p2, m2, s2):
   """Sphere vs ellipsoid: Newton projection of the center."""
   r = s1[..., 0]
@@ -679,6 +723,143 @@ def _sphere_ellipsoid(p1, m1, s1, p2, m2, s2):
   cw = _to_world(p2, m2, c)
   dist, pos, n = _sphere_sphere_raw(p1, r, cw, jnp.zeros_like(r))
   return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+# ---------------------------------------------------------------------------
+# Mesh (convex hull) narrowphase. Hull data is static (physics/mesh.py,
+# built at put_model); per pair group the hulls of the participating
+# geoms are gathered host-side into (n, V/F, ...) constants, so support
+# and exact point-to-hull projection vectorize over the pair axis with
+# static shapes. Mesh pairs plug into the same erode + alternating-
+# projection convex core as ellipsoid/cylinder pairs (same documented
+# ~1e-3 near-contact accuracy); mesh-plane and mesh-sphere are exact.
+# MuJoCo parity target: the general convex collider (mjc_Convex/MPR).
+# ---------------------------------------------------------------------------
+
+
+def _mesh_proj_local(x, k, H):
+  """Closest point of the k-scaled hull to local point x; x itself when
+  inside. x (n, 3), k (n,)."""
+  ctr = H['center']
+  kk = jnp.maximum(k, _MJMINVAL)[..., None]
+  xu = ctr + (x - ctr) / kk  # unscale the query instead of the hull
+  pl = jnp.sum(H['fnorm'] * xu[:, None, :], -1) - H['foff']  # (n, F)
+  inside = jnp.all(jnp.where(H['fmask'] > 0, pl, -1.0) <= 0, axis=-1)
+  tri = H['tri']
+  cand = _closest_on_triangle(xu[:, None, :], tri[..., 0, :],
+                              tri[..., 1, :], tri[..., 2, :])  # (n, F, 3)
+  d2 = jnp.sum((cand - xu[:, None, :]) ** 2, -1)
+  d2 = jnp.where(H['fmask'] > 0, d2, jnp.inf)
+  best = jnp.take_along_axis(
+      cand, jnp.argmin(d2, -1)[:, None, None], axis=1)[:, 0]
+  y = jnp.where(inside[..., None], xu, best)
+  return ctr + (y - ctr) * k[..., None]
+
+
+def _mesh_supp_local(nl, k, H):
+  """Hull support point in local direction nl, scaled by k."""
+  dots = jnp.sum(H['vert'] * nl[:, None, :], -1)
+  dots = jnp.where(H['vmask'] > 0, dots, -jnp.inf)
+  v = jnp.take_along_axis(
+      H['vert'], jnp.argmax(dots, -1)[:, None, None], axis=1)[:, 0]
+  return H['center'] + (v - H['center']) * k[..., None]
+
+
+def _mesh_ops(H) -> _ConvexOps:
+  """ConvexOps for a hull group; the shape param is a scale factor about
+  the hull center (1.0 = full size), making polytope erosion affine."""
+  proj = lambda p, mt, k, x: _to_world(
+      p, mt, _mesh_proj_local(_to_local(p, mt, x), k, H))
+  supp = lambda p, mt, k, nw: _to_world(
+      p, mt, _mesh_supp_local(
+          jnp.einsum('...ji,...j->...i', mt, nw), k, H))
+  shrink = lambda k, dlt: jnp.maximum(
+      k - dlt / jnp.maximum(H['rin'], _MJMINVAL), 0.05)
+  minext = lambda k: k * H['rin']
+  return _ConvexOps(proj, supp, shrink, minext)
+
+
+def _plane_mesh_fn(H):
+  """Plane vs hull: signed plane distance of every hull vertex, keep the
+  4 deepest (the resting-face manifold, mirroring _plane_box)."""
+
+  def collide(p1, m1, s1, p2, m2, s2):
+    n = m1[..., :, 2]
+    vw = p2[:, None, :] + jnp.einsum('nij,nvj->nvi', m2, H['vert'])
+    cdist = jnp.sum((vw - p1[:, None, :]) * n[:, None, :], -1)
+    cdist = jnp.where(H['vmask'] > 0, cdist, jnp.inf)
+    idx = jnp.argsort(cdist, axis=-1)[:, :4]
+    dist = jnp.take_along_axis(cdist, idx, axis=-1)
+    pts = jnp.take_along_axis(vw, idx[..., None], axis=1)
+    pos = pts - n[:, None, :] * (0.5 * dist)[..., None]
+    nrm = jnp.broadcast_to(n[:, None, :], pos.shape)
+    return dist, pos, nrm
+
+  return collide
+
+
+def _sphere_mesh_fn(H):
+  """Sphere vs hull: exact (projection of the center onto the hull
+  surface); center-inside uses the nearest-exit direction."""
+
+  def collide(p1, m1, s1, p2, m2, s2):
+    r = s1[..., 0]
+    cl = _to_local(p2, m2, p1)
+    tri = H['tri']
+    cand = _closest_on_triangle(cl[:, None, :], tri[..., 0, :],
+                                tri[..., 1, :], tri[..., 2, :])
+    d2 = jnp.sum((cand - cl[:, None, :]) ** 2, -1)
+    d2 = jnp.where(H['fmask'] > 0, d2, jnp.inf)
+    sp = jnp.take_along_axis(
+        cand, jnp.argmin(d2, -1)[:, None, None], axis=1)[:, 0]
+    pl = jnp.sum(H['fnorm'] * cl[:, None, :], -1) - H['foff']
+    inside = jnp.all(jnp.where(H['fmask'] > 0, pl, -1.0) <= 0, axis=-1)
+    pw = _to_world(p2, m2, sp)
+    delta = pw - p1
+    dn = jnp.linalg.norm(delta, axis=-1)
+    nd = delta / jnp.maximum(dn, _MJMINVAL)[..., None]
+    nd = jnp.where((dn > _MJMINVAL)[..., None], nd,
+                   jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], p1.dtype),
+                                    nd.shape))
+    n = jnp.where(inside[..., None], -nd, nd)
+    dist = jnp.where(inside, -(r + dn), dn - r)
+    pos = p1 + n * (r + 0.5 * dist)[..., None]
+    return dist[..., None], pos[..., None, :], n[..., None, :]
+
+  return collide
+
+
+def _hull_group(m: Model, gids: np.ndarray):
+  """Gather the static hulls of geoms `gids` into (n, ...) constants."""
+  s = m.stat
+  h = s.mesh_hulls
+  if h is None:
+    raise ValueError('mesh pair group but model has no mesh hulls')
+  mid = s.geom_dataid[gids]
+  dt = m.geom_size.dtype
+  f = lambda arr: jnp.asarray(arr[mid], dtype=dt)
+  return {'vert': f(h.vert), 'vmask': f(h.vmask), 'tri': f(h.tri),
+          'fnorm': f(h.fnorm), 'foff': f(h.foff), 'fmask': f(h.fmask),
+          'center': f(h.center), 'rin': f(h.rin)}
+
+
+def _mesh_collider(m: Model, key, g1s, g2s):
+  """Build the (collider, s1, s2) triple for a pair group whose second
+  (or both) geom type is MESH — GeomType ordering puts MESH last."""
+  t1 = key[0]
+  H2 = _hull_group(m, g2s)
+  ones2 = jnp.ones(len(g2s), m.geom_size.dtype)
+  if t1 == GeomType.PLANE:
+    return _plane_mesh_fn(H2), m.geom_size[g1s], ones2
+  if t1 == GeomType.SPHERE:
+    return _sphere_mesh_fn(H2), m.geom_size[g1s], ones2
+  if t1 == GeomType.CAPSULE:
+    return _capsule_convex_core(_mesh_ops(H2)), m.geom_size[g1s], ones2
+  if t1 == GeomType.MESH:
+    H1 = _hull_group(m, g1s)
+    return (_convex_core(_mesh_ops(H1), _mesh_ops(H2)),
+            jnp.ones(len(g1s), m.geom_size.dtype), ones2)
+  return _convex_core(_ops_of(t1), _mesh_ops(H2)), m.geom_size[g1s], ones2
 
 
 _COLLIDERS = {
@@ -787,9 +968,13 @@ def collision(m: Model, d: Data) -> Data:
     if key in _HF_COLLIDERS:
       cd, cp, cn = _HF_COLLIDERS[key](m, d, g1s, g2s, npts)
     else:
-      fn = _COLLIDERS[key]
-      p1, m1_, s1_ = d.geom_xpos[g1s], d.geom_xmat[g1s], m.geom_size[g1s]
-      p2, m2_, s2_ = d.geom_xpos[g2s], d.geom_xmat[g2s], m.geom_size[g2s]
+      if GeomType.MESH in key:
+        fn, s1_, s2_ = _mesh_collider(m, key, g1s, g2s)
+      else:
+        fn = _COLLIDERS[key]
+        s1_, s2_ = m.geom_size[g1s], m.geom_size[g2s]
+      p1, m1_ = d.geom_xpos[g1s], d.geom_xmat[g1s]
+      p2, m2_ = d.geom_xpos[g2s], d.geom_xmat[g2s]
       out = fn(p1, m1_, s1_, p2, m2_, s2_)
       cd, cp, cn = out[:3]
       ct1 = out[3] if len(out) > 3 else None

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import mujoco
 import numpy as np
 
+from mjlab_tpu.physics import mesh as _mesh
 from mjlab_tpu.physics.types import (
     CollisionPairs,
     Contact,
@@ -53,6 +54,16 @@ _COLLIDER_POINTS = {
     (GeomType.HFIELD, GeomType.SPHERE): 3,
     (GeomType.HFIELD, GeomType.CAPSULE): 3,
     (GeomType.HFIELD, GeomType.BOX): 4,
+    # mesh pairs collide against precomputed convex hulls (physics/mesh.py);
+    # plane-mesh yields a 4-point manifold (deepest hull vertices), the
+    # convex pairs a single closest-point contact per pair
+    (GeomType.PLANE, GeomType.MESH): 4,
+    (GeomType.SPHERE, GeomType.MESH): 1,
+    (GeomType.CAPSULE, GeomType.MESH): 1,
+    (GeomType.ELLIPSOID, GeomType.MESH): 1,
+    (GeomType.CYLINDER, GeomType.MESH): 1,
+    (GeomType.BOX, GeomType.MESH): 1,
+    (GeomType.MESH, GeomType.MESH): 1,
 }
 
 
@@ -456,6 +467,9 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32,
       eq_type=m.eq_type.copy().astype(np.int32),
       eq_obj1=m.eq_obj1id.copy().astype(np.int32),
       eq_obj2=m.eq_obj2id.copy().astype(np.int32),
+      nmesh=int(m.nmesh),
+      geom_dataid=m.geom_dataid.copy().astype(np.int32),
+      mesh_hulls=_mesh.build_hulls(m),
   )
 
   # Convert on the host and ship the whole pytree with ONE device_put at

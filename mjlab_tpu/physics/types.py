@@ -281,6 +281,12 @@ class ModelStatic(StaticBase):
   eq_obj1: np.ndarray = None  # (neq,) body or joint id
   eq_obj2: np.ndarray = None
 
+  # mesh geoms: precomputed padded convex hulls (physics/mesh.py
+  # MeshHulls namedtuple of np arrays) + per-geom mesh asset id
+  nmesh: int = 0
+  geom_dataid: np.ndarray = None  # (ngeom,) mesh id, -1 for non-mesh
+  mesh_hulls: object = None       # MeshHulls | None
+
 
 @struct.dataclass
 class Option:
