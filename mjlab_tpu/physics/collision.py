@@ -314,7 +314,11 @@ def _hf_point_candidates(hf, size, nrow, ncol, pts, radius):
   radius: (...) sphere radii. Returns (dist, pos, normal) with a trailing
   candidate axis of 18 (3x3 cells x 2 triangles); invalid candidates have
   dist = 1e10. All local-frame."""
-  rx, ry = size[0], size[1]
+  # static numpy float64 scalars must enter the math as WEAK Python
+  # floats, else they promote the whole f32 collider to f64 under
+  # standard dtype promotion (future JAX errors on the f64->f32 scatter
+  # writing results back into the contact set)
+  rx, ry = float(size[0]), float(size[1])
   cx = 2.0 * rx / (ncol - 1)
   cy = 2.0 * ry / (nrow - 1)
   u = (pts[..., 0] + rx) / cx  # continuous col coord
@@ -427,8 +431,10 @@ def _hfield_capsule(m: Model, d: Data, g1s, g2s, npts):
   r = m.geom_size[g2s, 0]
   hl = m.geom_size[g2s, 1]
   axis = mat[..., :, 2]
-  # 3 sample spheres along the segment
-  ts = jnp.array([-1.0, 0.0, 1.0])
+  # 3 sample spheres along the segment (dtype follows the data: jnp
+  # float literals default to f64 when x64 is on, which would promote
+  # the whole collider)
+  ts = jnp.array([-1.0, 0.0, 1.0], p.dtype)
   cs = p[:, None, :] + axis[:, None, :] * (ts[None, :, None] * hl[:, None, None])
   c_l = jnp.einsum('ba,nsb->nsa', rh, cs - ph)  # (n, 3, 3)
   dist, pos, normal = _hf_point_candidates(
@@ -449,13 +455,13 @@ def _hfield_box(m: Model, d: Data, g1s, g2s, npts):
   mat = d.geom_xmat[g2s]
   size = m.geom_size[g2s]
   sign = jnp.array([[sx, sy, sz] for sx in (-1., 1.) for sy in (-1., 1.)
-                    for sz in (-1., 1.)])  # (8, 3)
+                    for sz in (-1., 1.)], p.dtype)  # (8, 3)
   corners = p[:, None, :] + jnp.einsum(
       'nab,nkb->nka', mat, sign[None] * size[:, None, :])
   c_l = jnp.einsum('ba,nkb->nka', rh, corners - ph)  # (n, 8, 3)
   dist, pos, normal = _hf_point_candidates(
       m.hfield_data, s.hfield_size, s.hfield_nrow, s.hfield_ncol, c_l,
-      jnp.zeros(c_l.shape[:2]))
+      jnp.zeros(c_l.shape[:2], p.dtype))
   n = dist.shape[0]
   dist = dist.reshape(n, -1)
   pos = pos.reshape(n, -1, 3)

@@ -152,7 +152,10 @@ def generate_g1_squat_motion(output_path: str, duration_s: float = 8.0,
 
   qpos = np.zeros((T, mj.nq))
   phase = 2 * np.pi * 0.5 * t  # 0.5 Hz squat
-  depth = 0.12 * 0.5 * (1 - np.cos(phase))  # smooth 0..0.12 m
+  # 0..0.22 m commanded dip; the ground-clearance projection below lifts
+  # frames whose feet would sink, so the realized anchor oscillation is
+  # set by the leg-bend kinematics (~0.1 m for this depth on the real G1)
+  depth = 0.22 * 0.5 * (1 - np.cos(phase))
   qpos[:, idx.free_q_adr[0]] = 0.0
   qpos[:, idx.free_q_adr[2]] = HOME_KEYFRAME.pos[2] - depth
   qpos[:, idx.free_q_adr[3]] = 1.0  # identity quat

@@ -52,7 +52,10 @@ def terrain_levels_vel(ctx, state, mask, command_name: str = 'twist',
     return None, jnp.zeros(())
   view = ctx.scene[asset_cfg.name if asset_cfg else 'robot']
   levels = state['levels']
-  table = jnp.asarray(ctx.scene.terrain.origins_table)
+  # cast: the table is host float64; origins feed .at[].add on the f32
+  # qpos (future JAX errors on unsafe scatter dtype mixes)
+  table = jnp.asarray(ctx.scene.terrain.origins_table,
+                      ctx.data.qpos.dtype)
   types = jnp.asarray(ctx.scene.terrain.terrain_types)
   max_level = ctx.scene.terrain.max_level
 
@@ -84,7 +87,7 @@ def _terrain_levels_init(scene=None, **kw):
     return None
   levels = jnp.asarray(terrain.terrain_levels, jnp.int32)
   types = jnp.asarray(terrain.terrain_types)
-  origins = jnp.asarray(terrain.origins_table)[levels, types]
+  origins = jnp.asarray(terrain.origins_table, jnp.float32)[levels, types]
   return {'levels': levels, 'origins': origins}
 
 

@@ -50,3 +50,23 @@ def _host_fingerprint() -> str:
 def cpu_cache_dir(repo_root: str) -> str:
   """Host-specific persistent cache directory for the CPU backend."""
   return os.path.join(repo_root, '.jax_cache_cpu', _host_fingerprint())
+
+
+def setup_compilation_cache(repo_root: str | None = None) -> None:
+  """Point JAX's persistent compile cache at the repo-local directory
+  (CPU backends get the host-fingerprinted subdir). Tunneled-TPU
+  backends pay a remote round trip per compile, so caching across
+  processes matters; safe no-op if the config is unavailable."""
+  import jax
+  if repo_root is None:
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+  try:
+    if jax.default_backend() == 'cpu':
+      cache = cpu_cache_dir(repo_root)
+    else:
+      cache = os.path.join(repo_root, '.jax_cache')
+    jax.config.update('jax_compilation_cache_dir', cache)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+  except Exception:
+    pass

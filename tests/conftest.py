@@ -33,3 +33,23 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 assert jax.default_backend() == 'cpu', (
     'tests must run on the CPU backend, got ' + jax.default_backend())
 assert jax.device_count() == 8, 'expected 8 virtual CPU devices'
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope='module')
+def _bounded_compiler_state():
+  """Drop compiled executables between test modules.
+
+  The suite compiles dozens of full-robot/full-env XLA:CPU programs into
+  one long-lived process; the accumulated LLVM JIT state has been
+  observed to crash late-suite compiles nondeterministically (SIGSEGV in
+  backend_compile_and_load / SIGABRT in the AOT loader, at ~50% through
+  the run). Clearing jit caches per module keeps that state bounded; the
+  host-fingerprinted persistent disk cache makes any re-compilation of a
+  still-live jitted function a fast disk reload, not a real compile."""
+  yield
+  jax.clear_caches()
+  gc.collect()

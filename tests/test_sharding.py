@@ -81,9 +81,14 @@ def test_sharded_ppo_iteration_matches_unsharded(go1_env, rl_cfg):
         rtol=1e-3, atol=1e-5, err_msg=k)
   flat_ref = jax.tree_util.tree_leaves(ts_ref.params)
   flat_sh = jax.tree_util.tree_leaves(ts_out.params)
+  # params see 20 Adam updates: the optimizer's 1/(sqrt(v)+eps) scaling
+  # amplifies reduction-order noise on near-zero-variance entries (a
+  # single element drifting ~3e-4 was observed across otherwise identical
+  # runs), so the param check is looser than the loss check above; a
+  # genuinely wrong collective (missing/mis-scaled psum) diverges O(1)
   for a, b in zip(flat_ref, flat_sh):
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                               rtol=1e-3, atol=5e-5)
+                               rtol=1e-3, atol=1e-3)
   # env state stays sharded through the iteration
   assert len(ts_out.env_state.data.qpos.devices()) == 8
 
