@@ -1,0 +1,187 @@
+"""Performance profiling harness: per-phase timing, roofline, traces.
+
+The reference's perf observability is viewer-side frame timers only
+(reference src/mjlab/viewer/base.py:24-43); this CLI is the TPU-native
+profiling story SURVEY §5 calls for:
+
+  profile --task Mjlab-Velocity-Flat-Unitree-G1 --num-envs 4096
+      per-phase block_until_ready timing of every physics pipeline stage
+      plus the fused substep and the full env.step.
+  profile ... --roofline
+      XLA compiled-module cost analysis (exact optimized-HLO FLOPs and
+      bytes accessed) -> achieved FLOP/s, apparent bandwidth, and the
+      roofline position vs the chip's peaks.
+  profile ... --trace DIR
+      captures a jax.profiler trace of the hot loop viewable in
+      TensorBoard / Perfetto (xplane protos under DIR).
+
+Phase timings are standalone dispatches: they include per-dispatch
+overhead and lose cross-stage fusion, so they sum to MORE than the fused
+substep — use them for attribution, the fused numbers for throughput.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+# Public peak specs per chip generation (f32 MXU FLOP/s, HBM bytes/s).
+_CHIP_PEAKS = {
+    'v5e': (49.2e12, 819e9),
+    'v5p': (115e12, 2765e9),
+    'v4': (68.5e12, 1228e9),
+    'cpu': (float('nan'), float('nan')),
+}
+
+
+def _timeit(name, fn, args, reps):
+  import jax
+  out = fn(*args)
+  jax.block_until_ready(out)
+  t0 = time.perf_counter()
+  for _ in range(reps):
+    out = fn(*args)
+  jax.block_until_ready(out)
+  dt = (time.perf_counter() - t0) / reps
+  print(f'{name:30s} {dt * 1e3:8.3f} ms', flush=True)
+  return out, dt
+
+
+def _phase_report(env, state, reps):
+  import jax
+
+  from mjlab_tpu.physics import (collision, constraint, kinematics,
+                                 pipeline, smooth, solver)
+
+  model, data = state.model, state.data
+  axes = env._model_axes
+  s = model.stat
+  lay = constraint.efc_layout(s)
+  print(f'pairs ncon_max={s.pairs.ncon_max} ncon_cap={s.ncon_cap} '
+        f'nv={s.nv}')
+  print(f'efc rows: nf={lay.nf} nl={lay.nl} ncr={lay.ncr} '
+        f'total={lay.nefc}')
+
+  def vm(f):
+    return jax.jit(jax.vmap(f, in_axes=(axes, 0)))
+
+  _timeit('full substep (fused)', vm(pipeline.step), (model, data), reps)
+  d, _ = _timeit('kinematics', vm(kinematics.kinematics), (model, data),
+                 reps)
+  d, _ = _timeit('com_pos', vm(kinematics.com_pos), (model, d), reps)
+  d, _ = _timeit('crb', vm(smooth.crb), (model, d), reps)
+  d, _ = _timeit('collision narrowphase', vm(collision.collision),
+                 (model, d), reps)
+  d, _ = _timeit('transmission', vm(smooth.transmission), (model, d), reps)
+  d, _ = _timeit('com_vel', vm(kinematics.com_vel), (model, d), reps)
+  d, _ = _timeit('passive', vm(smooth.passive), (model, d), reps)
+  d, _ = _timeit('rne', vm(smooth.rne), (model, d), reps)
+  d, _ = _timeit('actuation', vm(smooth.actuation), (model, d), reps)
+  d, _ = _timeit('fwd_smooth', vm(smooth.fwd_smooth), (model, d), reps)
+  _timeit('make_efc', vm(constraint.make_efc), (model, d), reps)
+
+  def solve_only(m, dd):
+    return solver.solve(m, dd, constraint.make_efc(m, dd))
+
+  _timeit('make_efc + solve', vm(solve_only), (model, d), reps)
+
+
+def _roofline_report(env, state, action, reps, peaks):
+  import jax
+
+  from mjlab_tpu.physics import pipeline
+
+  peak_flops, peak_bw = peaks
+
+  def analyze(name, fn, *args):
+    compiled = jax.jit(fn).lower(*args).compile()
+    try:
+      ca = compiled.cost_analysis()
+      if isinstance(ca, list):
+        ca = ca[0]
+    except Exception as e:  # noqa: BLE001 - backend-dependent API
+      print(f'{name}: cost_analysis unavailable ({e})')
+      ca = {}
+    flops = ca.get('flops', float('nan'))
+    bytes_acc = ca.get('bytes accessed', float('nan'))
+    _, dt = _timeit(name, jax.jit(fn), args, reps)
+    tf = flops / dt / 1e12
+    gbs = bytes_acc / dt / 1e9
+    print(f'  flops {flops / 1e9:9.2f} GFLOP -> {tf:7.2f} TFLOP/s '
+          f'({100 * tf * 1e12 / peak_flops:5.1f}% of f32 peak)')
+    print(f'  bytes {bytes_acc / 1e9:9.2f} GB    -> {gbs:7.1f} GB/s '
+          f'({100 * gbs * 1e9 / peak_bw:5.1f}% of HBM peak, apparent)')
+    ai = flops / max(bytes_acc, 1.0)
+    ridge = peak_flops / peak_bw
+    regime = 'compute' if ai > ridge else 'bandwidth'
+    print(f'  intensity {ai:6.2f} FLOP/B (ridge {ridge:.0f} -> '
+          f'{regime}-bound)', flush=True)
+
+  substep = jax.vmap(pipeline.step, in_axes=(env._model_axes, 0))
+  analyze('physics substep', substep, state.model, state.data)
+  analyze('full env.step', env.step_fn, state, action)
+
+
+def main(argv=None):
+  parser = argparse.ArgumentParser(description=__doc__)
+  parser.add_argument('--task', default='Mjlab-Velocity-Flat-Unitree-G1')
+  parser.add_argument('--num-envs', type=int, default=4096)
+  parser.add_argument('--reps', type=int, default=20)
+  parser.add_argument('--roofline', action='store_true',
+                      help='XLA cost-analysis roofline instead of phases')
+  parser.add_argument('--trace', default=None, metavar='DIR',
+                      help='capture a jax.profiler trace of the hot loop')
+  parser.add_argument('--chip', default='v5e', choices=sorted(_CHIP_PEAKS),
+                      help='peak specs used for roofline percentages')
+  parser.add_argument('--cpu', action='store_true',
+                      help='force the CPU backend (the axon TPU plugin '
+                      'overrides the JAX_PLATFORMS env var, so an env var '
+                      'alone cannot)')
+  args = parser.parse_args(argv)
+
+  import jax
+  if args.cpu:
+    jax.config.update('jax_platforms', 'cpu')
+
+  from mjlab_tpu.tasks import registry
+  from mjlab_tpu.utils.cache import setup_compilation_cache
+  setup_compilation_cache()
+
+  cfg = registry.load_cfg(args.task)
+  cfg.scene.num_envs = args.num_envs
+  env = registry.make(args.task, cfg=cfg)
+  state, _ = env.init_state(0)
+  print(f'=== {args.task} N={args.num_envs} '
+        f'backend={jax.default_backend()} ===')
+
+  action = 0.5 * jax.random.normal(jax.random.PRNGKey(0),
+                                   (args.num_envs, env.action_dim))
+
+  if args.roofline:
+    _roofline_report(env, state, action, args.reps,
+                     _CHIP_PEAKS[args.chip])
+  else:
+    _phase_report(env, state, args.reps)
+
+  step = jax.jit(env.step_fn, donate_argnums=(0,))
+  st, out = step(state, action)
+  jax.block_until_ready(out[1])
+  if args.trace:
+    with jax.profiler.trace(args.trace):
+      for _ in range(max(3, args.reps // 4)):
+        st, out = step(st, action)
+      jax.block_until_ready(out[1])
+    print(f'trace written to {args.trace} (tensorboard --logdir, or '
+          'upload the xplane.pb to ui.perfetto.dev)')
+  t0 = time.perf_counter()
+  for _ in range(args.reps):
+    st, out = step(st, action)
+  jax.block_until_ready(out[1])
+  dt = (time.perf_counter() - t0) / args.reps
+  print(f'{"full env.step":30s} {dt * 1e3:8.3f} ms  '
+        f'({args.num_envs / dt:,.0f} env-steps/s)', flush=True)
+
+
+if __name__ == '__main__':
+  main()

@@ -143,3 +143,19 @@ def geom_mesh(gtype: int, size, plane_extent: float = 5.0):
     f = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
     return v, f
   return None
+
+
+def mujoco_mesh(mj, g: int):
+  """(verts, faces) of a mesh geom's actual mesh asset, geom frame
+  (reference renders these via trimesh -> GLB, ref viser_conversions)."""
+  import mujoco
+  if mj.geom_type[g] != mujoco.mjtGeom.mjGEOM_MESH:
+    return None
+  mid = int(mj.geom_dataid[g])
+  if mid < 0:
+    return None
+  va, vn = int(mj.mesh_vertadr[mid]), int(mj.mesh_vertnum[mid])
+  fa, fn = int(mj.mesh_faceadr[mid]), int(mj.mesh_facenum[mid])
+  verts = np.asarray(mj.mesh_vert[va:va + vn], float)
+  faces = np.asarray(mj.mesh_face[fa:fa + fn], np.int32)
+  return verts, faces

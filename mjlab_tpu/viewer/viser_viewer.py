@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from mjlab_tpu.viewer.base import BaseViewer
-from mjlab_tpu.viewer.primitives import arrow_mesh, geom_mesh
+from mjlab_tpu.viewer.primitives import arrow_mesh, geom_mesh, mujoco_mesh
 
 
 def _require_viser():
@@ -116,6 +116,8 @@ class ViserViewer(BaseViewer):
         handles.append(None)
         continue
       mesh = geom_mesh(self.mj.geom_type[g], self.mj.geom_size[g])
+      if mesh is None:
+        mesh = mujoco_mesh(self.mj, g)
       if mesh is None:
         handles.append(None)
         continue

@@ -65,6 +65,35 @@ def test_geom_mesh_dispatch():
       is None
 
 
+def test_mujoco_mesh_extraction():
+  """Mesh geoms render from the compiled model's mesh asset tables
+  (reference renders via trimesh->GLB, ref viser_conversions.py)."""
+  xml = """
+  <mujoco>
+    <asset>
+      <mesh name="tet" vertex="0 0 0  1 0 0  0 1 0  0 0 1"/>
+    </asset>
+    <worldbody>
+      <geom type="plane" size="1 1 0.1"/>
+      <body><freejoint/>
+        <geom type="mesh" mesh="tet" pos="0 0 1"/>
+      </body>
+    </worldbody>
+  </mujoco>"""
+  mj = mujoco.MjModel.from_xml_string(xml)
+  got = None
+  for g in range(mj.ngeom):
+    out = primitives.mujoco_mesh(mj, g)
+    if mj.geom_type[g] == mujoco.mjtGeom.mjGEOM_MESH:
+      assert out is not None
+      got = out
+    else:
+      assert out is None
+  verts, faces = got
+  assert verts.shape == (4, 3)
+  assert faces.min() >= 0 and faces.max() < 4
+
+
 def test_arrow_mesh():
   v, f = primitives.arrow_mesh(1.0, 0.02)
   assert v[:, 2].min() >= -1e-9 and v[:, 2].max() <= 1.0 + 1e-9
