@@ -70,6 +70,9 @@ class WandbWriter:
 
   def __init__(self, log_dir: str, project: str, run_name: str | None = None):
     import wandb
+    # default to offline so a no-network host logs locally instead of
+    # blocking in wandb.init; `wandb sync` uploads later
+    os.environ.setdefault('WANDB_MODE', 'offline')
     self._run = wandb.init(project=project, name=run_name, dir=log_dir)
     self._wandb = wandb
 
@@ -96,9 +99,9 @@ def make_writers(logger: str, log_dir: str, project: str = 'mjlab_tpu',
     try:
       writers.append(WandbWriter(log_dir, project, run_name))
     except Exception as e:  # package missing or no network
+      fallback = 'tensorboard' if _has_tbx() else 'jsonl only'
       print(f'[writers] wandb unavailable ({e!r}); falling back to '
-            'tensorboard' if _has_tbx() else '[writers] wandb unavailable; '
-            'jsonl only')
+            f'{fallback}')
       if _has_tbx():
         writers.append(TensorboardWriter(log_dir))
   return writers

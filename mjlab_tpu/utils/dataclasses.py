@@ -23,13 +23,18 @@ def get_terms(cfg: Any, term_type: Type[T]) -> dict[str, T]:
   if cfg is None:
     return {}
   out = {}
-  field_names = {f.name for f in dataclasses.fields(cfg)}
+  # iterate fields in DECLARATION order (reference semantics, and the
+  # basis of the observation concat layout): a set here once made term
+  # order PYTHONHASHSEED-dependent, scrambling obs vectors across
+  # processes and defeating the persistent compile cache
+  field_names = [f.name for f in dataclasses.fields(cfg)]
   for name in field_names:
     value = getattr(cfg, name)
     if isinstance(value, term_type):
       out[name] = value
+  declared = set(field_names)
   for name, value in vars(cfg).items():
-    if name not in field_names and isinstance(value, term_type):
+    if name not in declared and isinstance(value, term_type):
       out[name] = value
   return out
 

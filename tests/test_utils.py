@@ -104,3 +104,30 @@ def test_quat_roundtrips():
   np.testing.assert_allclose(np.abs(wrap_to_pi(jnp.asarray(3 * np.pi))),
                              np.pi, atol=1e-6)
   np.testing.assert_allclose(wrap_to_pi(jnp.asarray(0.5)), 0.5, atol=1e-6)
+
+
+def test_get_terms_declaration_order():
+  """Term discovery must follow dataclass declaration order (the obs
+  concat layout and episode-sum columns depend on it; a hash-ordered set
+  here once scrambled observation vectors across processes)."""
+  import dataclasses
+
+  from mjlab_tpu.utils.dataclasses import get_terms, term
+
+  @dataclasses.dataclass
+  class T:
+    x: float = 0.0
+
+  @dataclasses.dataclass
+  class Cfg:
+    zebra: T = term(T, x=1.0)
+    apple: T = term(T, x=2.0)
+    mango: T = term(T, x=3.0)
+    other: int = 5
+
+  cfg = Cfg()
+  assert list(get_terms(cfg, T).keys()) == ['zebra', 'apple', 'mango']
+  # injected (non-field) terms come after declared fields
+  cfg.banana = T(x=4.0)
+  assert list(get_terms(cfg, T).keys()) == ['zebra', 'apple', 'mango',
+                                            'banana']
