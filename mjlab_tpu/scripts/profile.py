@@ -123,6 +123,41 @@ def _roofline_report(env, state, action, reps, peaks):
   analyze('full env.step', env.step_fn, state, action)
 
 
+def _trace_summary(trace_dir: str, top: int = 25) -> None:
+  """Top ops by total time per xplane plane (device planes show real
+  per-op device time). Parses the raw XSpace proto — the TB profile
+  plugin's converter is version-broken in this environment."""
+  import glob
+  os_env = __import__('os').environ
+  os_env.setdefault('PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION', 'python')
+  try:
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+  except Exception as e:  # noqa: BLE001
+    print(f'[trace] xplane proto unavailable ({e}); inspect the trace '
+          'with tensorboard instead')
+    return
+  pbs = glob.glob(f'{trace_dir}/**/*.xplane.pb', recursive=True)
+  if not pbs:
+    print('[trace] no xplane.pb found')
+    return
+  xs = xplane_pb2.XSpace()
+  xs.ParseFromString(open(sorted(pbs)[-1], 'rb').read())
+  for plane in xs.planes:
+    if not plane.lines:
+      continue
+    tot: dict = {}
+    for line in plane.lines:
+      for ev in line.events:
+        name = plane.event_metadata[ev.metadata_id].name
+        tot[name] = tot.get(name, 0) + ev.duration_ps
+    ranked = sorted(tot.items(), key=lambda kv: -kv[1])[:top]
+    if not ranked:
+      continue
+    print(f'--- {plane.name}: top {len(ranked)} ops by total time ---')
+    for k, v in ranked:
+      print(f'  {v / 1e9:10.3f} ms  {k[:90]}')
+
+
 def main(argv=None):
   parser = argparse.ArgumentParser(description=__doc__)
   parser.add_argument('--task', default='Mjlab-Velocity-Flat-Unitree-G1')
@@ -174,6 +209,7 @@ def main(argv=None):
       jax.block_until_ready(out[1])
     print(f'trace written to {args.trace} (tensorboard --logdir, or '
           'upload the xplane.pb to ui.perfetto.dev)')
+    _trace_summary(args.trace)
   t0 = time.perf_counter()
   for _ in range(args.reps):
     st, out = step(st, action)
