@@ -217,3 +217,66 @@ def generate_g1_squat_motion(output_path: str, duration_s: float = 8.0,
                           idx.free_q_adr, qpos, fps)
   np.savez(output_path, **motion)
   return output_path
+
+
+def _render_motion(npz_path: str, robot_cfg, out_path: str, fps: float):
+  """Kinematic replay of a motion npz to mp4 (reference csv_to_npz.py
+  --render): root pose + joint_pos are reassembled into qpos and drawn
+  with the offscreen renderer."""
+  from mjlab_tpu.entity.entity import Entity
+  blob = np.load(npz_path)
+  ent = Entity(robot_cfg)
+  mj = ent.spec.compile()
+  idx = ent.compute_indexing(mj, '')
+  T = blob['joint_pos'].shape[0]
+  qpos = np.zeros((T, mj.nq))
+  qpos[:, idx.free_q_adr[:3]] = blob['body_pos_w'][:, 0]
+  qpos[:, idx.free_q_adr[3:]] = blob['body_quat_w'][:, 0]
+  qpos[:, idx.q_adr] = blob['joint_pos']
+
+  class _Env:  # render_trajectory only needs these two attributes
+    scene = type('S', (), {'mj_model': mj})
+    step_dt = 1.0 / fps
+  from mjlab_tpu.viewer.offscreen import render_trajectory
+  render_trajectory(_Env(), qpos, out_path, fps=int(fps))
+
+
+def main(argv=None):
+  """csv_to_npz CLI (reference scripts/csv_to_npz.py): CSV rows of
+  [base_pos(3), base_quat(4 wxyz), joint_pos(nj)] -> MotionLoader npz,
+  or --synthetic-squat for the built-in G1 test motion."""
+  import argparse
+  parser = argparse.ArgumentParser(description=main.__doc__)
+  parser.add_argument('--csv', default=None, help='input CSV trajectory')
+  parser.add_argument('--output', required=True, help='output npz path')
+  parser.add_argument('--robot', default='g1', choices=('g1', 'go1'))
+  parser.add_argument('--input-fps', type=float, default=30.0)
+  parser.add_argument('--output-fps', type=float, default=50.0)
+  parser.add_argument('--synthetic-squat', action='store_true',
+                      help='generate the synthetic G1 squat instead of '
+                      'reading a CSV')
+  parser.add_argument('--render', default=None, metavar='MP4',
+                      help='also render a kinematic replay video')
+  args = parser.parse_args(argv)
+
+  if args.robot == 'g1':
+    from mjlab_tpu.asset_zoo.unitree_g1 import G1_ROBOT_CFG as robot_cfg
+  else:
+    from mjlab_tpu.asset_zoo.unitree_go1 import GO1_ROBOT_CFG as robot_cfg
+
+  if args.synthetic_squat:
+    generate_g1_squat_motion(args.output, fps=args.output_fps)
+  elif args.csv:
+    csv_to_npz(args.csv, robot_cfg, args.output,
+               input_fps=args.input_fps, output_fps=args.output_fps)
+  else:
+    parser.error('provide --csv or --synthetic-squat')
+  print(f'wrote {args.output}')
+  if args.render:
+    _render_motion(args.output, robot_cfg, args.render,
+                   fps=args.output_fps)
+    print(f'rendered {args.render}')
+
+
+if __name__ == '__main__':
+  main()
