@@ -4,6 +4,8 @@ from __future__ import annotations
 
 
 def main(argv=None):
+  from mjlab_tpu.utils.cache import apply_platform_env
+  apply_platform_env()
   from mjlab_tpu.tasks import registry
   tasks = registry.registered_tasks()
   width = max(len(t) for t in tasks) if tasks else 10

@@ -32,6 +32,8 @@ def main(argv=None):
   parser.add_argument('--viewer', action='store_true')
   args, overrides = parser.parse_known_args(argv)
 
+  from mjlab_tpu.utils.cache import apply_platform_env
+  apply_platform_env()
   import jax
   import jax.numpy as jnp
 

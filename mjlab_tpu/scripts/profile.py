@@ -175,6 +175,8 @@ def main(argv=None):
                       'alone cannot)')
   args = parser.parse_args(argv)
 
+  from mjlab_tpu.utils.cache import apply_platform_env
+  apply_platform_env()
   import jax
   if args.cpu:
     jax.config.update('jax_platforms', 'cpu')

@@ -29,6 +29,9 @@ def main(argv=None):
                            '(jax.sharding Mesh; multi-chip/multi-host)')
   args, overrides = parser.parse_known_args(argv)
 
+  from mjlab_tpu.utils.cache import apply_platform_env
+  apply_platform_env()
+
   from mjlab_tpu.tasks import registry
   from mjlab_tpu.utils.cli import apply_overrides
 

@@ -70,3 +70,20 @@ def setup_compilation_cache(repo_root: str | None = None) -> None:
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
   except Exception:
     pass
+
+
+def apply_platform_env() -> None:
+  """Honor MJLAB_PLATFORM (e.g. 'cpu') through jax.config.
+
+  The axon TPU plugin OVERRIDES the JAX_PLATFORMS environment variable,
+  so subprocesses (tests, CI) cannot force the CPU backend through the
+  environment alone; every CLI calls this before touching JAX so
+  `MJLAB_PLATFORM=cpu play ...` works anywhere. No-op when unset or
+  after backend init."""
+  plat = os.environ.get('MJLAB_PLATFORM')
+  if plat:
+    try:
+      import jax
+      jax.config.update('jax_platforms', plat)
+    except Exception:
+      pass

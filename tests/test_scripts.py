@@ -1,0 +1,43 @@
+"""CLI smoke tests: the console entry points must run end-to-end
+(reference analog: smoke_test.py + the packaged-wheel smoke in the
+reference Makefile)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(mod, *args, timeout=900):
+  env = dict(os.environ)
+  env.pop('XLA_FLAGS', None)
+  # the axon plugin ignores JAX_PLATFORMS; the CLIs honor this instead
+  env['MJLAB_PLATFORM'] = 'cpu'
+  out = subprocess.run(
+      [sys.executable, '-m', mod, *args], capture_output=True, text=True,
+      timeout=timeout, cwd=_REPO, env=env)
+  assert out.returncode == 0, (out.stdout[-1500:], out.stderr[-1500:])
+  return out.stdout
+
+
+def test_list_envs_cli():
+  out = _run('mjlab_tpu.scripts.list_envs')
+  assert 'Mjlab-Velocity-Flat-Unitree-Go1' in out
+  assert 'Mjlab-Tracking-Flat-Unitree-G1-No-State-Estimation-Play' in out
+
+
+def test_play_cli_zero_agent():
+  out = _run('mjlab_tpu.scripts.play', 'Mjlab-Velocity-Flat-Unitree-Go1',
+             '--agent', 'zero', '--steps', '3',
+             '--env.scene.num_envs', '2')
+  assert 'steps' in out or 'reward' in out.lower()
+
+
+def test_motion_cli_synthetic(tmp_path):
+  npz = str(tmp_path / 'sq.npz')
+  _run('mjlab_tpu.scripts.motion', '--output', npz, '--synthetic-squat')
+  blob = np.load(npz)
+  assert blob['joint_pos'].shape[0] == 400
