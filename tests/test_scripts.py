@@ -41,3 +41,25 @@ def test_motion_cli_synthetic(tmp_path):
   _run('mjlab_tpu.scripts.motion', '--output', npz, '--synthetic-squat')
   blob = np.load(npz)
   assert blob['joint_pos'].shape[0] == 400
+
+
+def test_train_then_play_trained_roundtrip(tmp_path):
+  """The full user path: train 2 iterations -> checkpoint on disk ->
+  play --agent trained finds and loads it (reference train.py/play.py)."""
+  log_root = str(tmp_path / 'logs')
+  _run('mjlab_tpu.scripts.train', 'Mjlab-Velocity-Flat-Unitree-Go1',
+       '--log-root', log_root, '--run-name', 'smoke',
+       '--env.scene.num_envs', '4',
+       '--agent.max_iterations', '2',
+       '--agent.num_steps_per_env', '4',
+       '--agent.save_interval', '2',
+       '--agent.logger', 'tensorboard')
+  import glob
+  ckpts = glob.glob(f'{log_root}/**/model_*', recursive=True)
+  assert ckpts, f'no checkpoint written under {log_root}'
+  # tensorboard event files present (writer stack wired through runner)
+  assert glob.glob(f'{log_root}/**/events.out.tfevents.*', recursive=True)
+  out = _run('mjlab_tpu.scripts.play', 'Mjlab-Velocity-Flat-Unitree-Go1',
+             '--agent', 'trained', '--log-root', log_root,
+             '--steps', '3', '--env.scene.num_envs', '4')
+  assert 'loading' in out
