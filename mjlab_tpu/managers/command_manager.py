@@ -8,7 +8,6 @@ jitted step.
 
 from __future__ import annotations
 
-from typing import Any
 
 import jax
 import jax.numpy as jnp

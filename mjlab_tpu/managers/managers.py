@@ -12,7 +12,7 @@ key). Term discovery scans config dataclass fields by type
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

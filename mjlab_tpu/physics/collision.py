@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mjlab_tpu.physics import math as pmath
-from mjlab_tpu.physics.types import Contact, Data, GeomType, Model
+from mjlab_tpu.physics.types import Data, GeomType, Model
 
 _MJMINVAL = 1e-15
 

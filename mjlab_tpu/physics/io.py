@@ -21,7 +21,6 @@ from mjlab_tpu.physics.types import (
     Contact,
     Data,
     GeomType,
-    JointType,
     Model,
     ModelStatic,
     Option,

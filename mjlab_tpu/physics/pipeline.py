@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from mjlab_tpu.physics import collision as _collision
-from mjlab_tpu.physics import linalg
 from mjlab_tpu.physics import constraint as _constraint
 from mjlab_tpu.physics import kinematics as _kinematics
 from mjlab_tpu.physics import math as pmath

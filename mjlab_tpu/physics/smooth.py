@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mjlab_tpu.physics import linalg
 from mjlab_tpu.physics import math as pmath
 from mjlab_tpu.physics.types import (
     BiasType,
@@ -26,7 +25,6 @@ from mjlab_tpu.physics.types import (
     GainType,
     JointType,
     Model,
-    TrnType,
 )
 
 

@@ -14,8 +14,6 @@ extras['time_outs'].
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import Any
 
 import jax

@@ -11,7 +11,6 @@ from __future__ import annotations
 import os
 import re
 import time
-from typing import Any
 
 import jax
 import numpy as np

@@ -12,7 +12,6 @@ import dataclasses
 import datetime
 import json
 import os
-import sys
 
 
 def main(argv=None):

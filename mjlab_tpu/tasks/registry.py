@@ -9,7 +9,6 @@ make() gets a fresh config to mutate.
 from __future__ import annotations
 
 import copy
-import dataclasses
 from typing import Any, Callable
 
 _REGISTRY: dict[str, dict[str, Any]] = {}
