@@ -71,8 +71,12 @@ class WandbWriter:
   def __init__(self, log_dir: str, project: str, run_name: str | None = None):
     import wandb
     # default to offline so a no-network host logs locally instead of
-    # blocking in wandb.init; `wandb sync` uploads later
-    os.environ.setdefault('WANDB_MODE', 'offline')
+    # blocking in wandb.init; set WANDB_MODE=online explicitly to
+    # upload live, or `wandb sync` the run dir later
+    if 'WANDB_MODE' not in os.environ:
+      os.environ['WANDB_MODE'] = 'offline'
+      print('[writers] WANDB_MODE unset; defaulting to offline '
+            '(set WANDB_MODE=online for live upload)')
     self._run = wandb.init(project=project, name=run_name, dir=log_dir)
     self._wandb = wandb
 

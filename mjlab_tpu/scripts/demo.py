@@ -26,8 +26,10 @@ def main(argv=None):
   p.add_argument('--steps', type=int, default=300)
   args = p.parse_args(argv)
 
-  from mjlab_tpu.utils.cache import apply_platform_env
+  from mjlab_tpu.utils.cache import (apply_platform_env,
+                                     setup_compilation_cache)
   apply_platform_env()
+  setup_compilation_cache()
 
   from mjlab_tpu.rl.runner import get_checkpoint_path
   from mjlab_tpu.tasks import registry

@@ -19,7 +19,7 @@ import numpy as np
 # Bump when the G1 robot description or the synthetic-motion recipe
 # changes: cached npz files embed robot body poses, so a stale cache
 # against a new robot silently corrupts tracking training targets.
-G1_MOTION_VERSION = 2
+G1_MOTION_VERSION = 3
 
 
 def _quat_slerp_np(q0, q1, t):
@@ -265,6 +265,8 @@ def main(argv=None):
     from mjlab_tpu.asset_zoo.unitree_go1 import GO1_ROBOT_CFG as robot_cfg
 
   if args.synthetic_squat:
+    if args.robot != 'g1':
+      parser.error('--synthetic-squat generates a G1 motion; use --robot g1')
     generate_g1_squat_motion(args.output, fps=args.output_fps)
   elif args.csv:
     csv_to_npz(args.csv, robot_cfg, args.output,

@@ -32,8 +32,10 @@ def main(argv=None):
   parser.add_argument('--viewer', action='store_true')
   args, overrides = parser.parse_known_args(argv)
 
-  from mjlab_tpu.utils.cache import apply_platform_env
+  from mjlab_tpu.utils.cache import (apply_platform_env,
+                                     setup_compilation_cache)
   apply_platform_env()
+  setup_compilation_cache()
   import jax
   import jax.numpy as jnp
 

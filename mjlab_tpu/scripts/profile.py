@@ -105,7 +105,9 @@ def _roofline_report(env, state, action, reps, peaks):
       ca = {}
     flops = ca.get('flops', float('nan'))
     bytes_acc = ca.get('bytes accessed', float('nan'))
-    _, dt = _timeit(name, jax.jit(fn), args, reps)
+    # time the SAME compiled executable (a fresh jax.jit wrapper would
+    # recompile — minutes per program on the remote-compile tunnel)
+    _, dt = _timeit(name, compiled, args, reps)
     tf = flops / dt / 1e12
     gbs = bytes_acc / dt / 1e9
     print(f'  flops {flops / 1e9:9.2f} GFLOP -> {tf:7.2f} TFLOP/s '
@@ -128,8 +130,8 @@ def _trace_summary(trace_dir: str, top: int = 25) -> None:
   per-op device time). Parses the raw XSpace proto — the TB profile
   plugin's converter is version-broken in this environment."""
   import glob
-  os_env = __import__('os').environ
-  os_env.setdefault('PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION', 'python')
+  import os
+  os.environ.setdefault('PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION', 'python')
   try:
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
   except Exception as e:  # noqa: BLE001

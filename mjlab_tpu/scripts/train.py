@@ -28,8 +28,10 @@ def main(argv=None):
                            '(jax.sharding Mesh; multi-chip/multi-host)')
   args, overrides = parser.parse_known_args(argv)
 
-  from mjlab_tpu.utils.cache import apply_platform_env
+  from mjlab_tpu.utils.cache import (apply_platform_env,
+                                     setup_compilation_cache)
   apply_platform_env()
+  setup_compilation_cache()
 
   from mjlab_tpu.tasks import registry
   from mjlab_tpu.utils.cli import apply_overrides

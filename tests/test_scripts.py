@@ -46,6 +46,8 @@ def test_motion_cli_synthetic(tmp_path):
 def test_train_then_play_trained_roundtrip(tmp_path):
   """The full user path: train 2 iterations -> checkpoint on disk ->
   play --agent trained finds and loads it (reference train.py/play.py)."""
+  import pytest
+  pytest.importorskip('tensorboardX')  # --agent.logger tensorboard below
   log_root = str(tmp_path / 'logs')
   _run('mjlab_tpu.scripts.train', 'Mjlab-Velocity-Flat-Unitree-Go1',
        '--log-root', log_root, '--run-name', 'smoke',

@@ -38,13 +38,12 @@ def test_tensorboard_writer_emits_events(tmp_path):
 
 
 def test_make_writers_wandb_falls_back(tmp_path):
-  # wandb is not installed in this environment: the stack must degrade
-  # to jsonl(+tensorboard) instead of raising
+  # whether or not wandb is installed, requesting the wandb logger must
+  # never raise and always yields the jsonl baseline first (graceful
+  # degradation when the package or network is unavailable)
   ws = make_writers('wandb', str(tmp_path))
   names = [type(w).__name__ for w in ws]
   assert names[0] == 'JsonlWriter'
-  assert 'WandbWriter' not in names or os.environ.get('WANDB_MODE') == \
-      'offline'
   for w in ws:
     w.close()
 
