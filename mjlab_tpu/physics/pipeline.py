@@ -24,6 +24,7 @@ from mjlab_tpu.physics import kinematics as _kinematics
 from mjlab_tpu.physics import math as pmath
 from mjlab_tpu.physics import sensor as _sensor
 from mjlab_tpu.physics import smooth as _smooth
+from mjlab_tpu.physics import smooth_fused as _smooth_fused
 from mjlab_tpu.ops.pd_solve import solve_pd as _ops_solve_pd
 from mjlab_tpu.physics import solver as _solver
 from mjlab_tpu.physics.types import (
@@ -37,9 +38,15 @@ from mjlab_tpu.physics.types import (
 
 
 def fwd_position(m: Model, d: Data) -> Data:
-  d = _kinematics.kinematics(m, d)
-  d = _kinematics.com_pos(m, d)
-  d = _smooth.crb(m, d)
+  if _smooth_fused.enabled(m.stat):
+    # one fused stage: kinematics + com_pos + com_vel + crb + rne
+    # (Pallas kernel under vmap on TPU; fwd_velocity then skips its
+    # com_vel/rne calls — see physics/smooth_fused.py)
+    d = _smooth_fused.smooth_all(m, d)
+  else:
+    d = _kinematics.kinematics(m, d)
+    d = _kinematics.com_pos(m, d)
+    d = _smooth.crb(m, d)
   d = _collision.collision(m, d)
   d = _smooth.tendon(m, d)
   d = _smooth.transmission(m, d)
@@ -47,9 +54,12 @@ def fwd_position(m: Model, d: Data) -> Data:
 
 
 def fwd_velocity(m: Model, d: Data) -> Data:
-  d = _kinematics.com_vel(m, d)
+  fused = _smooth_fused.enabled(m.stat)
+  if not fused:
+    d = _kinematics.com_vel(m, d)
   d = _smooth.passive(m, d)
-  d = _smooth.rne(m, d)
+  if not fused:
+    d = _smooth.rne(m, d)
   return d
 
 
