@@ -16,8 +16,13 @@ class RslRlPpoActorCriticCfg:
   class_name: str = 'ActorCritic'
   init_noise_std: float = 1.0
   noise_std_type: Literal['scalar', 'log'] = 'scalar'
-  actor_obs_normalization: bool = True
-  critic_obs_normalization: bool = True
+  # reference defaults (reference src/mjlab/rl/config.py:15-18): obs
+  # normalization OFF unless a task opts in (tracking does, velocity does
+  # not — a running normalizer hit by one exploded-physics batch is
+  # permanently poisoned, which is exactly what a locomotion task with
+  # early falls risks).
+  actor_obs_normalization: bool = False
+  critic_obs_normalization: bool = False
   actor_hidden_dims: tuple = (512, 256, 128)
   critic_hidden_dims: tuple = (512, 256, 128)
   activation: str = 'elu'
@@ -32,7 +37,7 @@ class RslRlPpoAlgorithmCfg:
   schedule: Literal['adaptive', 'fixed'] = 'adaptive'
   gamma: float = 0.99
   lam: float = 0.95
-  entropy_coef: float = 0.008
+  entropy_coef: float = 0.005
   desired_kl: float = 0.01
   max_grad_norm: float = 1.0
   value_loss_coef: float = 1.0

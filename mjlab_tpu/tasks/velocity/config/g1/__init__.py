@@ -7,14 +7,38 @@ from mjlab_tpu.tasks.velocity.config.g1.flat_env_cfg import (
 )
 
 
+def _g1_ppo_cfg(experiment_name):
+  """Mirror of UnitreeG1PPORunnerCfg (reference
+  tasks/velocity/config/g1/rl_cfg.py:11-41): obs normalization OFF,
+  (512,256,128) nets, entropy 0.01, 30k-iteration budget."""
+  from mjlab_tpu.rl.config import (
+      RslRlOnPolicyRunnerCfg,
+      RslRlPpoActorCriticCfg,
+      RslRlPpoAlgorithmCfg,
+  )
+  return RslRlOnPolicyRunnerCfg(
+      experiment_name=experiment_name,
+      policy=RslRlPpoActorCriticCfg(
+          init_noise_std=1.0,
+          actor_obs_normalization=False,
+          critic_obs_normalization=False,
+          actor_hidden_dims=(512, 256, 128),
+          critic_hidden_dims=(512, 256, 128),
+          activation='elu'),
+      algorithm=RslRlPpoAlgorithmCfg(
+          value_loss_coef=1.0, use_clipped_value_loss=True, clip_param=0.2,
+          entropy_coef=0.01, num_learning_epochs=5, num_mini_batches=4,
+          learning_rate=1.0e-3, schedule='adaptive', gamma=0.99, lam=0.95,
+          desired_kl=0.01, max_grad_norm=1.0),
+      save_interval=50, num_steps_per_env=24, max_iterations=30_000)
+
+
 def _rl_cfg():
-  from mjlab_tpu.rl.config import RslRlOnPolicyRunnerCfg
-  return RslRlOnPolicyRunnerCfg(experiment_name='g1_flat')
+  return _g1_ppo_cfg('g1_flat')
 
 
 def _rl_cfg_rough():
-  from mjlab_tpu.rl.config import RslRlOnPolicyRunnerCfg
-  return RslRlOnPolicyRunnerCfg(experiment_name='g1_rough')
+  return _g1_ppo_cfg('g1_rough')
 
 
 registry.register('Mjlab-Velocity-Flat-Unitree-G1',

@@ -17,6 +17,16 @@ from mjlab_tpu.tasks.velocity.velocity_env_cfg import (
 )
 from mjlab_tpu.terrains.importer import TerrainImporterCfg
 
+# posture-reward stds, verbatim from the reference G1 tuning
+# (reference tasks/velocity/config/g1/rough_env_cfg.py:52-70)
+G1_POSE_STD = {
+    '.*hip_pitch.*': 0.3, '.*hip_roll.*': 0.15, '.*hip_yaw.*': 0.15,
+    '.*knee.*': 0.35, '.*ankle_pitch.*': 0.25, '.*ankle_roll.*': 0.1,
+    '.*waist_yaw.*': 0.15, '.*waist_roll.*': 0.08, '.*waist_pitch.*': 0.1,
+    '.*shoulder_pitch.*': 0.35, '.*shoulder_roll.*': 0.15,
+    '.*shoulder_yaw.*': 0.1, '.*elbow.*': 0.25, '.*wrist.*': 0.3,
+}
+
 
 def _g1_with_sensors():
   cfg = dataclasses.replace(G1_ROBOT_CFG)
@@ -41,13 +51,13 @@ class UnitreeG1FlatEnvCfg(LocomotionVelocityEnvCfg):
     self.actions.joint_pos.scale = G1_ACTION_SCALE
     self.events.foot_friction.params['asset_cfg'] = SceneEntityCfg(
         'robot', geom_names=[r'^(left|right)_foot[1-7]_collision$'])
-    self.rewards.pose.params['std'] = {
-        '.*_hip_pitch_joint': 0.35, '.*_hip_roll_joint': 0.2,
-        '.*_hip_yaw_joint': 0.2, '.*_knee_joint': 0.45,
-        '.*_ankle_.*_joint': 0.25, 'waist_.*_joint': 0.15,
-        '.*_shoulder_.*_joint': 0.25, '.*_elbow_joint': 0.3,
-        '.*_wrist_.*_joint': 0.25}
-    self.rewards.flat_orientation_l2.weight = -2.0
+    self.rewards.pose.params['std'] = G1_POSE_STD
+    # reference G1 disables the command-velocity curriculum
+    # (reference rough_env_cfg.py:77 curriculum.command_vel = None) and
+    # the flat variant softens pushes (reference flat_env_cfg.py:22-26)
+    self.curriculum.command_vel = None
+    self.events.push_robot.params['velocity_range'] = {
+        'x': (-0.5, 0.5), 'y': (-0.5, 0.5)}
 
 
 @dataclasses.dataclass

@@ -27,15 +27,11 @@ class UnitreeG1RoughEnvCfg(LocomotionVelocityRoughEnvCfg):
     self.actions.joint_pos.scale = G1_ACTION_SCALE
     self.events.foot_friction.params['asset_cfg'] = SceneEntityCfg(
         'robot', geom_names=[r'^(left|right)_foot[1-7]_collision$'])
-    self.rewards.pose.params['std'] = {
-        '.*_hip_pitch_joint': 0.35, '.*_hip_roll_joint': 0.2,
-        '.*_hip_yaw_joint': 0.2, '.*_knee_joint': 0.45,
-        '.*_ankle_.*_joint': 0.25, 'waist_.*_joint': 0.15,
-        '.*_shoulder_.*_joint': 0.25, '.*_elbow_joint': 0.3,
-        '.*_wrist_.*_joint': 0.25}
-    # on rough terrain the base follows the slope: no flat-orientation
-    # penalty (reference rough cfg keeps it off)
-    self.rewards.flat_orientation_l2.weight = 0.0
+    from mjlab_tpu.tasks.velocity.config.g1.flat_env_cfg import G1_POSE_STD
+    self.rewards.pose.params['std'] = G1_POSE_STD
+    # reference G1 disables the command-velocity curriculum
+    # (reference rough_env_cfg.py:77)
+    self.curriculum.command_vel = None
     self.rewards.air_time.params['sensor_names'] = (
         'left_foot_ground_contact', 'right_foot_ground_contact')
 
