@@ -61,3 +61,13 @@ def _import_all():
     import mjlab_tpu.tasks.tracking.config.g1  # noqa: F401
   except ImportError:
     pass
+  # External/plugin task modules (the gym-registration analog for user
+  # tasks; docs/create_new_task.md): comma-separated importable module
+  # paths whose import side-effect is registry.register(...) calls.
+  # Also how the test suite injects its tiny smoke task into CLI
+  # subprocesses.
+  import importlib
+  import os
+  for mod in filter(None, os.environ.get(
+      'MJLAB_TASKS_MODULES', '').split(',')):
+    importlib.import_module(mod.strip())

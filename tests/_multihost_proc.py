@@ -49,11 +49,13 @@ from mjlab_tpu.parallel.sharding import enable_sharding
 from mjlab_tpu.rl.ppo import PPO
 from mjlab_tpu.tasks import registry
 
+import mjlab_tpu.tasks.velocity.config.tiny  # noqa: E402 (registers task)
+
 NUM_ENVS = 16
-cfg = registry.load_cfg('Mjlab-Velocity-Flat-Unitree-Go1')
+cfg = registry.load_cfg('Mjlab-Velocity-Flat-Tiny')
 cfg.scene.num_envs = NUM_ENVS
-env = registry.make('Mjlab-Velocity-Flat-Unitree-Go1', cfg=cfg)
-rl = registry.load_cfg('Mjlab-Velocity-Flat-Unitree-Go1',
+env = registry.make('Mjlab-Velocity-Flat-Tiny', cfg=cfg)
+rl = registry.load_cfg('Mjlab-Velocity-Flat-Tiny',
                        'rl_cfg_entry_point')
 rl.num_steps_per_env = 4
 rl.save_interval = 0

@@ -19,10 +19,11 @@ import jax
 jax.config.update('jax_platforms', 'cpu')
 import hashlib
 import jax.numpy as jnp
+import mjlab_tpu.tasks.velocity.config.tiny  # registers the tiny task
 from mjlab_tpu.tasks import registry
-cfg = registry.load_cfg('Mjlab-Velocity-Flat-Unitree-Go1')
+cfg = registry.load_cfg('Mjlab-Velocity-Flat-Tiny')
 cfg.scene.num_envs = 2
-env = registry.make('Mjlab-Velocity-Flat-Unitree-Go1', cfg=cfg)
+env = registry.make('Mjlab-Velocity-Flat-Tiny', cfg=cfg)
 state, _ = env.init_state(0)
 a = jnp.zeros((2, env.action_dim))
 txt = jax.jit(env._step_fn).lower(state, a).as_text()

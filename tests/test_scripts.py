@@ -16,6 +16,8 @@ def _run(mod, *args, timeout=900):
   env.pop('XLA_FLAGS', None)
   # the axon plugin ignores JAX_PLATFORMS; the CLIs honor this instead
   env['MJLAB_PLATFORM'] = 'cpu'
+  # register the fast TinyBot smoke task inside the CLI subprocess
+  env['MJLAB_TASKS_MODULES'] = 'mjlab_tpu.tasks.velocity.config.tiny'
   out = subprocess.run(
       [sys.executable, '-m', mod, *args], capture_output=True, text=True,
       timeout=timeout, cwd=_REPO, env=env)
@@ -30,7 +32,7 @@ def test_list_envs_cli():
 
 
 def test_play_cli_zero_agent():
-  out = _run('mjlab_tpu.scripts.play', 'Mjlab-Velocity-Flat-Unitree-Go1',
+  out = _run('mjlab_tpu.scripts.play', 'Mjlab-Velocity-Flat-Tiny',
              '--agent', 'zero', '--steps', '3',
              '--env.scene.num_envs', '2')
   assert 'steps' in out or 'reward' in out.lower()
@@ -49,7 +51,7 @@ def test_train_then_play_trained_roundtrip(tmp_path):
   import pytest
   pytest.importorskip('tensorboardX')  # --agent.logger tensorboard below
   log_root = str(tmp_path / 'logs')
-  _run('mjlab_tpu.scripts.train', 'Mjlab-Velocity-Flat-Unitree-Go1',
+  _run('mjlab_tpu.scripts.train', 'Mjlab-Velocity-Flat-Tiny',
        '--log-root', log_root, '--run-name', 'smoke',
        '--env.scene.num_envs', '4',
        '--agent.max_iterations', '2',
@@ -61,7 +63,7 @@ def test_train_then_play_trained_roundtrip(tmp_path):
   assert ckpts, f'no checkpoint written under {log_root}'
   # tensorboard event files present (writer stack wired through runner)
   assert glob.glob(f'{log_root}/**/events.out.tfevents.*', recursive=True)
-  out = _run('mjlab_tpu.scripts.play', 'Mjlab-Velocity-Flat-Unitree-Go1',
+  out = _run('mjlab_tpu.scripts.play', 'Mjlab-Velocity-Flat-Tiny',
              '--agent', 'trained', '--log-root', log_root,
              '--steps', '3', '--env.scene.num_envs', '4')
   assert 'loading' in out

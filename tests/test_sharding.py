@@ -21,17 +21,19 @@ N_ENVS = 16
 
 
 @pytest.fixture(scope='module')
-def go1_env():
+def tiny_env():
+  import mjlab_tpu.tasks.velocity.config.tiny  # noqa: F401
   from mjlab_tpu.tasks import registry
-  cfg = registry.load_cfg('Mjlab-Velocity-Flat-Unitree-Go1')
+  cfg = registry.load_cfg('Mjlab-Velocity-Flat-Tiny')
   cfg.scene.num_envs = N_ENVS
-  return registry.make('Mjlab-Velocity-Flat-Unitree-Go1', cfg=cfg)
+  return registry.make('Mjlab-Velocity-Flat-Tiny', cfg=cfg)
 
 
 @pytest.fixture(scope='module')
 def rl_cfg():
+  import mjlab_tpu.tasks.velocity.config.tiny  # noqa: F401
   from mjlab_tpu.tasks import registry
-  cfg = registry.load_cfg('Mjlab-Velocity-Flat-Unitree-Go1', 'rl_cfg_entry_point')
+  cfg = registry.load_cfg('Mjlab-Velocity-Flat-Tiny', 'rl_cfg_entry_point')
   cfg.num_steps_per_env = 4
   cfg.save_interval = 0
   return cfg
@@ -45,9 +47,9 @@ def test_mesh_and_divisibility():
     assert_divisible(12, make_mesh(8))
 
 
-def test_shard_batched_placement(go1_env):
+def test_shard_batched_placement(tiny_env):
   mesh = make_mesh(8)
-  state, obs = go1_env.init_state(0)
+  state, obs = tiny_env.init_state(0)
   sharded = shard_batched(state, mesh, N_ENVS)
   # env-axis leaves are split over 8 devices, scalars replicated
   qpos_shards = sharded.data.qpos.sharding
@@ -58,11 +60,11 @@ def test_shard_batched_placement(go1_env):
   assert n_dev == 8
 
 
-def test_sharded_ppo_iteration_matches_unsharded(go1_env, rl_cfg):
+def test_sharded_ppo_iteration_matches_unsharded(tiny_env, rl_cfg):
   """The same PPO iteration, sharded over 8 devices vs single-device:
   identical math (gradient reductions become collectives)."""
   from mjlab_tpu.rl.ppo import PPO
-  alg = PPO(go1_env, rl_cfg)
+  alg = PPO(tiny_env, rl_cfg)
 
   ts0 = alg.init_state(0)
   ts_ref, logs_ref = alg.learn_iteration(ts0)
@@ -93,11 +95,11 @@ def test_sharded_ppo_iteration_matches_unsharded(go1_env, rl_cfg):
   assert len(ts_out.env_state.data.qpos.devices()) == 8
 
 
-def test_enable_sharding_is_trains_cli_path(go1_env, rl_cfg):
+def test_enable_sharding_is_trains_cli_path(tiny_env, rl_cfg):
   """enable_sharding is exactly what `train.py --shard` executes; a short
   learn() must run under the active mesh."""
   from mjlab_tpu.rl.runner import OnPolicyRunner
-  runner = OnPolicyRunner(go1_env, rl_cfg)
+  runner = OnPolicyRunner(tiny_env, rl_cfg)
   mesh, runner.ts, restore = enable_sharding(runner.ts, N_ENVS, 8)
   try:
     logs = runner.learn(num_iterations=2, log_every=1)
