@@ -6,8 +6,9 @@ cameras, contact excludes) from the data modules in
 mjlab_tpu/asset_zoo/data/. Replaces the reference's MjSpec.from_file over
 mesh-bearing XMLs (reference
 src/mjlab/asset_zoo/robots/unitree_g1/g1_constants.py:32-35) with a
-mesh-free programmatic build — physics-identical, since reference visual
-geoms are massless and non-colliding.
+programmatic build. The visual mesh layer (massless, non-colliding
+group-2 geoms over STL assets in asset_zoo/robots/) is attached when
+visuals=True — physics is identical either way.
 """
 
 from __future__ import annotations
@@ -36,7 +37,8 @@ _CAM_MODE = {
 }
 
 
-def build_robot_spec(data: dict) -> mujoco.MjSpec:
+def build_robot_spec(data: dict, visuals: bool = True,
+                     assets_dir=None) -> mujoco.MjSpec:
   spec = mujoco.MjSpec()
   spec.modelname = data['modelname']
   spec.compiler.degree = False
@@ -83,4 +85,32 @@ def build_robot_spec(data: dict) -> mujoco.MjSpec:
     exc = spec.add_exclude()
     exc.bodyname1 = b1
     exc.bodyname2 = b2
+
+  vis = data.get('visuals')
+  if vis and visuals and assets_dir is not None:
+    _add_visuals(spec, parents, vis, assets_dir)
   return spec
+
+
+def _add_visuals(spec: mujoco.MjSpec, bodies: dict, vis: dict,
+                 assets_dir) -> None:
+  """Attach the visual mesh layer: STL assets embedded as uservert (so
+  MjSpec.attach during scene composition never resolves meshdir paths)
+  plus massless contype=conaffinity=0 group-2 mesh geoms, mirroring the
+  reference robots' visual class (reference
+  src/mjlab/asset_zoo/robots/unitree_g1/xmls/g1.xml:7)."""
+  from mjlab_tpu.asset_zoo.stl import load_stl
+
+  for md in vis['meshes']:
+    verts, faces = load_stl(str(assets_dir / md['file']))
+    mesh = spec.add_mesh()
+    mesh.name = md['name']
+    mesh.uservert = verts.ravel().tolist()
+    mesh.userface = faces.ravel().tolist()
+  for i, gd in enumerate(vis['geoms']):
+    g = bodies[gd['body']].add_geom(
+        name=f"{gd['mesh']}_visual_{i}",
+        type=mujoco.mjtGeom.mjGEOM_MESH, meshname=gd['mesh'],
+        pos=list(gd['pos']), quat=list(gd['quat']),
+        contype=0, conaffinity=0, group=2, rgba=list(gd['rgba']))
+    g.density = 0.0

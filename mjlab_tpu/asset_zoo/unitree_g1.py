@@ -4,9 +4,10 @@ The body tree, link inertials, joint axes/ranges, primitive collision
 geoms, sites and contact excludes are the real G1 description extracted
 to data tables (asset_zoo/data/g1_spec_data.py, verified to <1e-12
 against the compiled reference model — reference
-src/mjlab/asset_zoo/robots/unitree_g1/xmls/g1.xml). Visual meshes are
-omitted: in the reference they are massless and non-colliding, so the
-physics is identical.
+src/mjlab/asset_zoo/robots/unitree_g1/xmls/g1.xml). The 35 STL visual
+meshes ship in asset_zoo/robots/unitree_g1/assets and attach as
+massless, non-colliding group-2 geoms, so physics is identical with or
+without them.
 
 Actuator parameters are derived from the Unitree motor specs (5020 /
 7520-14 / 7520-22 / 4010 classes) via rotor inertia reflected through the
@@ -16,6 +17,8 @@ src/mjlab/asset_zoo/robots/unitree_g1/g1_constants.py:42-190.
 """
 
 from __future__ import annotations
+
+from pathlib import Path
 
 import mujoco
 
@@ -77,8 +80,13 @@ G1_ACTUATORS = (
     G1_ACTUATOR_4010, G1_ACTUATOR_WAIST, G1_ACTUATOR_ANKLE)
 
 
-def get_spec() -> mujoco.MjSpec:
-  return build_robot_spec(SPEC_DATA)
+ASSETS_DIR = Path(__file__).parent / 'robots' / 'unitree_g1' / 'assets'
+
+
+def get_spec(visuals: bool = True) -> mujoco.MjSpec:
+  """The real G1 spec; visuals=True attaches the 35 STL visual meshes
+  (massless, non-colliding — physics identical either way)."""
+  return build_robot_spec(SPEC_DATA, visuals=visuals, assets_dir=ASSETS_DIR)
 
 
 _FOOT_REGEX = r'^(left|right)_foot[1-7]_collision$'

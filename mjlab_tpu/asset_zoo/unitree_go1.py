@@ -15,6 +15,8 @@ src/mjlab/asset_zoo/robots/unitree_go1/go1_constants.py:39-82).
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import mujoco
 
 from mjlab_tpu.asset_zoo.data.go1_spec_data import SPEC_DATA
@@ -52,8 +54,15 @@ GO1_KNEE_ACTUATOR_CFG = ActuatorCfg(
     armature=KNEE_ACTUATOR.reflected_inertia)
 
 
-def get_spec() -> mujoco.MjSpec:
-  return build_robot_spec(SPEC_DATA)
+ASSETS_DIR = Path(__file__).parent / 'robots' / 'unitree_go1' / 'assets'
+
+
+def get_spec(visuals: bool = True) -> mujoco.MjSpec:
+  """The real Go1 spec; visuals=True attaches the STL visual meshes
+  (massless, non-colliding — physics identical either way). trunk.stl is
+  absent from the reference checkout, so the trunk renders its collision
+  primitives only."""
+  return build_robot_spec(SPEC_DATA, visuals=visuals, assets_dir=ASSETS_DIR)
 
 
 _FOOT_REGEX = '^[FR][LR]_foot_collision$'

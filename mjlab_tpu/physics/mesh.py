@@ -45,10 +45,23 @@ class MeshHulls(NamedTuple):
 
 
 def build_hulls(m: mujoco.MjModel) -> MeshHulls | None:
-  """Extract padded convex hulls for every mesh asset in the model."""
+  """Extract padded convex hulls for every COLLIDABLE mesh asset.
+
+  Meshes referenced only by visual geoms (contype == conaffinity == 0,
+  e.g. the asset-zoo robots' STL shells) are skipped — their rows stay
+  zero-masked and are never touched by the narrowphase, which only runs
+  on candidate pairs of collidable geoms. This also exempts them from
+  the MAX_HULL_VERT cap, which exists to bound the vectorized support
+  search, not to restrict render geometry."""
   if m.nmesh == 0:
     return None
   from scipy.spatial import ConvexHull
+
+  collidable = set()
+  for g in range(m.ngeom):
+    if (m.geom_type[g] == mujoco.mjtGeom.mjGEOM_MESH
+        and (m.geom_contype[g] or m.geom_conaffinity[g])):
+      collidable.add(int(m.geom_dataid[g]))
 
   vert = np.zeros((m.nmesh, MAX_HULL_VERT, 3))
   vmask = np.zeros((m.nmesh, MAX_HULL_VERT))
@@ -60,6 +73,8 @@ def build_hulls(m: mujoco.MjModel) -> MeshHulls | None:
   rin = np.zeros(m.nmesh)
 
   for i in range(m.nmesh):
+    if i not in collidable:
+      continue
     adr, num = int(m.mesh_vertadr[i]), int(m.mesh_vertnum[i])
     pts = np.asarray(m.mesh_vert[adr:adr + num], dtype=np.float64)
     hull = ConvexHull(pts)

@@ -203,3 +203,34 @@ def test_entity_find_api(go1):
   ids, names = e.find_geoms(['.*_foot_collision'])
   assert len(names) == 4
   assert e.is_actuated and e.is_articulated and not e.is_fixed_base
+
+
+def test_visual_mesh_layer():
+  """The shipped STL visual meshes attach as massless, non-colliding
+  group-2 geoms (reference g1.xml visual class); physics sees none of
+  them (no hulls built, no candidate pairs), and the viewer mesh
+  extractor can triangulate every one."""
+  from mjlab_tpu.asset_zoo.unitree_g1 import get_spec
+  from mjlab_tpu.physics import io
+  from mjlab_tpu.viewer.primitives import mujoco_mesh
+
+  spec = get_spec()
+  spec.worldbody.add_geom(
+      name='floor', type=mujoco.mjtGeom.mjGEOM_PLANE, size=[5, 5, 0.1])
+  m = spec.compile()
+  assert m.nmesh == 35  # all reference G1 STL assets present
+  mesh_geoms = [g for g in range(m.ngeom)
+                if m.geom_type[g] == mujoco.mjtGeom.mjGEOM_MESH]
+  assert len(mesh_geoms) == 35
+  for g in mesh_geoms:
+    assert m.geom_contype[g] == 0 and m.geom_conaffinity[g] == 0
+  # identical physics: total mass matches the mesh-free build exactly
+  m_bare = get_spec(visuals=False).compile()
+  assert abs(m.body_mass.sum() - m_bare.body_mass.sum()) < 1e-12
+  # no hulls for visual-only meshes; no extra collision pairs
+  model = io.put_model(m)
+  mh = model.stat.mesh_hulls
+  assert mh is None or int((mh.vmask.sum(axis=1) > 0).sum()) == 0
+  # renderable
+  out = mujoco_mesh(m, mesh_geoms[0])
+  assert out is not None

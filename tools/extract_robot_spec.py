@@ -150,7 +150,46 @@ def extract(xml_path: Path, modelname: str) -> dict:
     excludes.append((name(mujoco.mjtObj.mjOBJ_BODY, b1),
                      name(mujoco.mjtObj.mjOBJ_BODY, b2)))
 
-  return {'modelname': modelname, 'bodies': bodies, 'excludes': excludes}
+  return {'modelname': modelname, 'bodies': bodies, 'excludes': excludes,
+          'visuals': extract_visuals(xml_path)}
+
+
+def extract_visuals(xml_path: Path) -> dict:
+  """Extract the visual mesh layer at SPEC level (pre-compile).
+
+  Spec-level pos/quat are the raw XML values; mujoco's mesh processing
+  (vertex recentering baked into compiled geom_pos/quat) is re-applied
+  identically when OUR spec compiles the same STL data, so spec-level is
+  the frame that round-trips. Mesh assets whose STL file is missing from
+  the reference checkout (go1 trunk.stl) are skipped with their geoms.
+  """
+  spec = mujoco.MjSpec.from_file(str(xml_path))
+  mats = {m.name: _t(m.rgba) for m in spec.materials}
+  assets_dir = xml_path.parent / 'assets'
+  meshes, have = [], set()
+  for m in spec.meshes:
+    fname = Path(m.file).name
+    if not (assets_dir / fname).exists():
+      print(f'  [visuals] skipping mesh {fname}: file absent from the '
+            f'reference checkout')
+      continue
+    name = m.name or Path(fname).stem
+    meshes.append({'name': name, 'file': fname})
+    have.add(name)
+  geoms = []
+  for g in spec.geoms:
+    if g.type != mujoco.mjtGeom.mjGEOM_MESH or g.meshname not in have:
+      continue
+    cls_mat = g.classname.geom.material if g.classname else ''
+    mat = g.material or cls_mat
+    geoms.append({
+        'body': g.parent.name,
+        'mesh': g.meshname,
+        'pos': _t(g.pos),
+        'quat': _t(g.quat),
+        'rgba': mats.get(mat, (0.7, 0.7, 0.7, 1.0)),
+    })
+  return {'meshes': meshes, 'geoms': geoms}
 
 
 def _fmt(obj, indent=0) -> str:
@@ -175,8 +214,9 @@ Generated by tools/extract_robot_spec.py from the reference robot
 description (reference {src}): the real
 body tree, explicit link inertials, joint axes/ranges, primitive
 collision geoms, sites, cameras and contact excludes, resolved to
-canonical MuJoCo form. Visual mesh geoms are omitted (they are massless
-and non-colliding in the reference, so physics is unchanged).
+canonical MuJoCo form — plus the visual mesh layer ('visuals': STL asset
+file names under asset_zoo/robots/ and massless, non-colliding mesh
+geom attachments; physics is unchanged with or without it).
 
 Do not edit by hand; re-run the tool instead.
 """
