@@ -112,3 +112,73 @@ def test_onnx_external_checker(tmp_path):
   (out,) = sess.run(None, {'obs': x})
   expected = _run_graph(onnx_writer.parse_model(path), x)
   np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_golden_fixture_byte_equality():
+  """The writer's serialization is pinned by a committed golden fixture
+  (deterministic ramp parameters, no PRNG): any change to the wire
+  format shows up as a byte diff here. Regenerate intentionally with
+  `python tests/data/make_golden_onnx.py` (round-2 VERDICT item 6)."""
+  import pathlib
+  import tempfile
+
+  data_dir = pathlib.Path(__file__).parent / 'data'
+  sys_path_entry = str(data_dir)
+  import sys
+  sys.path.insert(0, sys_path_entry)
+  try:
+    import make_golden_onnx
+    with tempfile.TemporaryDirectory() as td:
+      out = str(pathlib.Path(td) / 'regen.onnx')
+      make_golden_onnx.main(out)
+      regen = pathlib.Path(out).read_bytes()
+  finally:
+    sys.path.remove(sys_path_entry)
+  golden = (data_dir / 'golden_policy.onnx').read_bytes()
+  assert regen == golden, (
+      'exported bytes diverge from the committed golden fixture '
+      f'({len(regen)} vs {len(golden)} bytes)')
+
+
+def test_protoc_schema_conformance(tmp_path):
+  """Validate the hand-rolled protobuf bytes with an INDEPENDENT
+  implementation: protoc --decode against the ONNX schema subset
+  (tests/data/onnx_subset.proto). Wire types and field numbers must
+  conform or protoc fails — the zero-egress substitute for
+  onnx.checker."""
+  import pathlib
+  import shutil
+  import subprocess
+
+  import pytest
+
+  protoc = shutil.which('protoc')
+  if protoc is None:
+    pytest.skip('protoc not available')
+
+  data_dir = pathlib.Path(__file__).parent / 'data'
+  # a fresh non-trivial export (motion-baked: 2 inputs, Gather nodes,
+  # int64 tensors) plus the golden fixture
+  net, params = _make_policy(obs_dim=10, act_dim=4)
+  norm = RunningNorm.create(10)
+
+  class _Motion:
+    joint_pos = np.zeros((5, 4), np.float32)
+    joint_vel = np.zeros((5, 4), np.float32)
+    body_pos_w = np.zeros((5, 1, 3), np.float32)
+    body_quat_w = np.tile(np.array([1, 0, 0, 0], np.float32), (5, 1, 1))
+    body_lin_vel_w = np.zeros((5, 1, 3), np.float32)
+    body_ang_vel_w = np.zeros((5, 1, 3), np.float32)
+
+  mpath = str(tmp_path / 'motion.onnx')
+  export_motion_policy_as_onnx(params, norm, None, _Motion(), mpath)
+
+  for f in (str(data_dir / 'golden_policy.onnx'), mpath):
+    proc = subprocess.run(
+        [protoc, f'--proto_path={data_dir}', '--decode=onnx.ModelProto',
+         'onnx_subset.proto'],
+        stdin=open(f, 'rb'), capture_output=True, text=True)
+    assert proc.returncode == 0, f'{f}: protoc rejected: {proc.stderr}'
+    assert 'op_type: "Gemm"' in proc.stdout
+    assert 'ir_version: 8' in proc.stdout
+  assert 'op_type: "Gather"' in proc.stdout  # motion baking present
