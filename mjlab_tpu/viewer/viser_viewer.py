@@ -106,6 +106,20 @@ class ViserViewer(BaseViewer):
         'contact forces', initial_value=False)
     self._reward_md = self.server.gui.add_markdown('(rewards)')
     self._reward_hist: dict = {}
+    # live per-term strip plots (reference viser_reward_plotter.py):
+    # uplot charts, checkbox-gated; falls back to the sparkline table on
+    # viser builds without gui.add_uplot
+    self._plots_enabled = None
+    self._plot_handles: dict = {}
+    self._plot_window = 150
+    if hasattr(self.server.gui, 'add_uplot'):
+      self._plots_enabled = self.server.gui.add_checkbox(
+          'reward plots', initial_value=False)
+
+      def _toggle(_):
+        for h in self._plot_handles.values():
+          h.visible = self._plots_enabled.value
+      self._plots_enabled.on_update(_toggle)
 
   # -- handle construction ------------------------------------------------
   def _add_geom_handles(self, prefix: str, alpha, color=None,
@@ -262,13 +276,40 @@ class ViserViewer(BaseViewer):
           continue
         hist = self._reward_hist.setdefault(k, [])
         hist.append(val)
-        del hist[:-120]
+        del hist[:-max(120, self._plot_window)]
+        if self._plots_enabled is not None:
+          self._update_plot(k, hist)
         spark = ''.join('▁▂▃▄▅▆▇█'[min(7, int(8 * (x - min(hist)) /
                         (max(hist) - min(hist) + 1e-9)))] for x in hist[-40:])
         rows.append(f'| {k.split("/")[-1]} | {val:8.4f} | `{spark}` |')
     if rows:
       self._reward_md.content = (
           '| term | value | history |\n|---|---|---|\n' + '\n'.join(rows))
+
+  def _update_plot(self, term: str, hist: list, max_terms: int = 12):
+    """One uplot strip chart per reward term, rolling window anchored at
+    x in [-window, 0] (reference viser_reward_plotter.py:38-90)."""
+    import viser.uplot as uplot  # gated by add_uplot hasattr check
+
+    h = self._plot_handles.get(term)
+    if h is None:
+      if len(self._plot_handles) >= max_terms:
+        return
+      series = (uplot.Series(label='steps'),
+                uplot.Series(label=term.split('/')[-1], stroke='#1f77b4',
+                             width=2))
+      h = self.server.gui.add_uplot(
+          data=(np.array([], np.float64), np.array([], np.float64)),
+          series=series,
+          scales={'x': uplot.Scale(time=False, auto=False,
+                                   range=(-self._plot_window, 0)),
+                  'y': uplot.Scale(auto=True)},
+          aspect=2.0)
+      h.visible = self._plots_enabled.value
+      self._plot_handles[term] = h
+    y = np.asarray(hist[-self._plot_window:], np.float64)
+    x = np.arange(-len(y) + 1, 1, dtype=np.float64)
+    h.data = (x, y)
 
   def teardown(self):
     self.server.stop()
