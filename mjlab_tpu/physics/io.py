@@ -271,6 +271,21 @@ def _parse_tendons(m: mujoco.MjModel) -> dict:
   return out
 
 
+def _warn_elliptic_path(cone: int) -> int:
+  """One-time perf note: cone=elliptic solves on the XLA Newton path —
+  the whole-solver Pallas TPU kernel implements the pyramidal cost only
+  (ops/newton.py), so elliptic configs forgo its ~2x step speedup.
+  Correctness is identical (tests/test_elliptic.py)."""
+  if cone == 1 and not getattr(_warn_elliptic_path, '_done', False):
+    _warn_elliptic_path._done = True
+    import warnings
+    warnings.warn(
+        'cone=elliptic uses the XLA solver path (the Pallas whole-solver '
+        'kernel is pyramidal-only); expect lower TPU throughput than '
+        "cone='pyramidal'. See docs/faq.md.", stacklevel=3)
+  return cone
+
+
 def put_model(m: mujoco.MjModel, dtype=jnp.float32,
               ncon_cap: 'int | None' = None) -> Model:
   """Convert a compiled mujoco.MjModel to the engine Model pytree.
@@ -437,7 +452,7 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32,
       con_geom2=contact_slot_meta(m, pairs)[1],
       con_dim=contact_slot_meta(m, pairs)[2],
       integrator=int(m.opt.integrator),
-      cone=int(m.opt.cone),
+      cone=_warn_elliptic_path(int(m.opt.cone)),
       iterations=int(m.opt.iterations),
       ls_iterations=int(m.opt.ls_iterations),
       disableflags=int(m.opt.disableflags),

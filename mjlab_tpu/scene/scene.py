@@ -58,9 +58,13 @@ class Scene:
 
     self.terrain: TerrainImporter | None = None
     if cfg.terrain is not None:
-      self.terrain = TerrainImporter(cfg.terrain, cfg.num_envs)
-      frame = self.spec.worldbody.add_frame()
-      self.spec.attach(self.terrain.spec, prefix='terrain/', frame=frame)
+      # built in place, not attached: terrain names stay global (geom
+      # 'terrain') so entity contact sensors can reference
+      # geom2='terrain' across the entity-attach boundary (reference
+      # scene.py:140-147; MuJoCo drops contact sensors with unresolved
+      # refnames, and attach always prefixes names in mujoco>=3.10)
+      self.terrain = TerrainImporter(cfg.terrain, cfg.num_envs,
+                                     spec=self.spec)
 
     self.entities: dict[str, Entity] = {}
     for name, ecfg in cfg.entities.items():

@@ -34,6 +34,9 @@ def _g1_with_sensors():
       ContactSensorCfg(
           name=f'{side}_foot_ground_contact',
           subtree1=f'{side}_ankle_roll_link',
+          geom2='terrain',  # ground contact ONLY — under FULL_COLLISION a
+          # foot can also touch the other leg, which must not read as
+          # touchdown (reference rough_env_cfg.py:19-27 body2='terrain')
           data=('found', 'force'), reduce='netforce')
       for side in ('left', 'right'))
   cfg.spec_editors = cfg.spec_editors + sensors

@@ -22,11 +22,12 @@ _FEET = ['FL', 'FR', 'RL', 'RR']
 
 def _go1_with_sensors():
   cfg = dataclasses.replace(GO1_ROBOT_CFG)
-  # sensors against anything (primary geom only, no secondary object)
   sensors = tuple(
       ContactSensorCfg(
           name=f'{p}_foot_ground_contact',
           geom1=f'{p}_foot_collision',
+          geom2='terrain',  # ground contact only (reference
+          # rough_env_cfg.py body2='terrain')
           data=('found', 'force'), reduce='netforce')
       for p in _FEET)
   cfg.spec_editors = cfg.spec_editors + sensors

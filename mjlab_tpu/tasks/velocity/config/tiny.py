@@ -45,3 +45,28 @@ def _rl_cfg():
 registry.register('Mjlab-Velocity-Flat-Tiny',
                   env_cfg_entry_point=TinyVelocityEnvCfg,
                   rl_cfg_entry_point=_rl_cfg)
+
+
+@dataclasses.dataclass
+class TinyVelocityRoughEnvCfg(TinyVelocityEnvCfg):
+  """Generator terrain + terrain-level curriculum on the TinyBot: the
+  hfield collision and curriculum plumbing exercised without a full-robot
+  build (tests/test_env.py rough integration)."""
+
+  def __post_init__(self):
+    super().__post_init__()
+    from mjlab_tpu.managers.term_cfg import CurriculumTermCfg
+    from mjlab_tpu.tasks.velocity import mdp
+    from mjlab_tpu.tasks.velocity.velocity_env_cfg import (
+        make_rough_terrain_cfg,
+    )
+    self.scene.terrain = make_rough_terrain_cfg()
+    self.curriculum.terrain_levels = CurriculumTermCfg(
+        func=mdp.terrain_levels_vel,
+        params={'command_name': 'twist',
+                'asset_cfg': SceneEntityCfg('robot')})
+
+
+registry.register('Mjlab-Velocity-Rough-Tiny',
+                  env_cfg_entry_point=TinyVelocityRoughEnvCfg,
+                  rl_cfg_entry_point=_rl_cfg)

@@ -23,13 +23,24 @@ class TerrainImporterCfg:
 
 
 class TerrainImporter:
-  def __init__(self, cfg: TerrainImporterCfg, num_envs: int):
+  def __init__(self, cfg: TerrainImporterCfg, num_envs: int,
+               spec: 'mujoco.MjSpec | None' = None):
+    """Builds terrain into `spec` (the scene spec) when given, else into
+    a fresh standalone spec. Building in place keeps terrain names global
+    ('terrain' geom/hfield) so entity contact sensors can reference
+    geom2='terrain' across the entity-attach boundary — MuJoCo silently
+    drops contact sensors whose refname never resolves, and MjSpec.attach
+    in mujoco>=3.10 prefixes ALL attached names (even prefix-less attach
+    prepends '/'). Reference keeps terrain names global the same way
+    (ref scene.py:140-147, terrain_importer.py:157-158)."""
     self.cfg = cfg
     self.num_envs = num_envs
-    self.spec = mujoco.MjSpec()
+    self.spec = mujoco.MjSpec() if spec is None else spec
     if cfg.terrain_type == 'plane':
+      # named 'terrain' like the generator path (and the reference's
+      # terrain body) so ground-contact sensors can filter on it
       self.spec.worldbody.add_geom(
-          name='floor', type=mujoco.mjtGeom.mjGEOM_PLANE,
+          name='terrain', type=mujoco.mjtGeom.mjGEOM_PLANE,
           size=[0.0, 0.0, 0.05], rgba=list(cfg.color) + [1.0])
       # grid origins at z = 0
       side = int(np.ceil(np.sqrt(num_envs)))

@@ -47,13 +47,15 @@ def test_determinism(go1_env):
 
 def test_time_out_reset():
   """Episodes truncate at max length and reset in place. Uses very short
-  episodes so truncation fires before any physical termination."""
-  cfg = registry.load_cfg('Mjlab-Velocity-Flat-Unitree-Go1')
+  episodes so truncation fires before any physical termination. TinyBot:
+  the truncation plumbing is robot-independent."""
+  import mjlab_tpu.tasks.velocity.config.tiny  # noqa: F401
+  cfg = registry.load_cfg('Mjlab-Velocity-Flat-Tiny')
   cfg.scene.num_envs = 2
   cfg.episode_length_s = 0.24  # 12 control steps
-  env = registry.make('Mjlab-Velocity-Flat-Unitree-Go1', cfg=cfg)
+  env = registry.make('Mjlab-Velocity-Flat-Tiny', cfg=cfg)
   state, _ = env.init_state(seed=3)
-  a = jnp.zeros((2, 12))
+  a = jnp.zeros((2, 2))
   saw_timeout = False
   for _ in range(env.max_episode_length + 2):
     state, (obs, rew, term, trunc, extras) = env._step_jit(state, a)
@@ -76,12 +78,15 @@ def test_command_resample_on_reset(go1_env):
 def test_rough_env_with_terrain_curriculum():
   """Full rough-terrain env: hfield collision in the pipeline, spawn
   origins from the terrain-level curriculum state, level updates on
-  reset (reference velocity_env_cfg.py:226-241 terrain curriculum)."""
-  cfg = registry.load_cfg('Mjlab-Velocity-Rough-Unitree-Go1')
+  reset (reference velocity_env_cfg.py:226-241 terrain curriculum).
+  TinyBot rough task: hfield + curriculum plumbing is robot-independent
+  (Go1 hfield collision itself is covered by tests/test_terrains.py)."""
+  import mjlab_tpu.tasks.velocity.config.tiny  # noqa: F401
+  cfg = registry.load_cfg('Mjlab-Velocity-Rough-Tiny')
   cfg.scene.num_envs = 4
   gen = cfg.scene.terrain.terrain_generator
   gen.num_rows, gen.num_cols, gen.border_width = 2, 2, 4.0
-  env = registry.make('Mjlab-Velocity-Rough-Unitree-Go1', cfg=cfg)
+  env = registry.make('Mjlab-Velocity-Rough-Tiny', cfg=cfg)
   state, obs = env.init_state(seed=0)
   curr = state.curriculum['terrain_levels']
   assert curr['levels'].shape == (4,)
@@ -90,7 +95,7 @@ def test_rough_env_with_terrain_curriculum():
   xy = np.asarray(state.data.qpos[:, :2])
   np.testing.assert_allclose(xy, np.asarray(curr['origins'][:, :2]),
                              atol=1.0)
-  a = jnp.zeros((4, 12))
+  a = jnp.zeros((4, 2))
   for _ in range(5):
     state, (obs, rew, term, trunc, extras) = env._step_jit(state, a)
   assert bool(jnp.all(jnp.isfinite(state.data.qpos)))

@@ -105,9 +105,10 @@ def test_env_step_self_heals_nonfinite_state():
   import numpy as np
   from mjlab_tpu.tasks import registry
 
-  cfg = registry.load_cfg('Mjlab-Velocity-Flat-Unitree-Go1')
+  import mjlab_tpu.tasks.velocity.config.tiny  # noqa: F401
+  cfg = registry.load_cfg('Mjlab-Velocity-Flat-Tiny')
   cfg.scene.num_envs = 4
-  env = registry.make('Mjlab-Velocity-Flat-Unitree-Go1', cfg=cfg)
+  env = registry.make('Mjlab-Velocity-Flat-Tiny', cfg=cfg)
   state, obs = env.init_state(0)
   # poison env 1's velocity state
   qvel = state.data.qvel.at[1, 0].set(jnp.nan)
