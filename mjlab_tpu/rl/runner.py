@@ -79,9 +79,13 @@ class OnPolicyRunner:
         self._write_log(logs)
       if self.log_dir and self.cfg.save_interval and \
           (it + 1) % self.cfg.save_interval == 0:
-        self.save(os.path.join(self.log_dir, f'model_{it + 1}.ckpt'))
+        # name by the TRUE training iteration (survives --resume; a
+        # resumed run keeps numbering where the loaded checkpoint ended)
+        self.save(os.path.join(
+            self.log_dir, f'model_{int(np.asarray(self.ts.iteration))}.ckpt'))
     if self.log_dir:
-      self.save(os.path.join(self.log_dir, f'model_{n_iter}.ckpt'))
+      self.save(os.path.join(
+          self.log_dir, f'model_{int(np.asarray(self.ts.iteration))}.ckpt'))
     return last_logs
 
   def _write_log(self, logs: dict):
@@ -136,8 +140,19 @@ class OnPolicyRunner:
     payload = jax.device_get(payload)
     try:
       import orbax.checkpoint as ocp
-      ocp.PyTreeCheckpointer().save(os.path.abspath(path), payload,
-                                    force=True)
+      try:
+        ocp.PyTreeCheckpointer().save(os.path.abspath(path), payload,
+                                      force=True)
+      except Exception as e:  # noqa: BLE001
+        # orbax's post-commit metadata writer can race its own tmp-dir
+        # rename under heavy host contention (observed: ValueError
+        # "Checkpoint directory does not exist: ...orbax-checkpoint-tmp"
+        # AFTER the final directory was fully committed). A checkpoint
+        # hiccup must never kill a training run: if the committed
+        # checkpoint restores, continue; otherwise re-raise.
+        ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        print(f'[ckpt] save raised {e!r} after commit; checkpoint at '
+              f'{path} verified restorable, continuing', flush=True)
     except ImportError:
       import pickle
       with open(path, 'wb') as f:

@@ -1,0 +1,242 @@
+"""TPU perf harness (VERDICT r2 next-round #3).
+
+Subcommands (run on the real chip; each prints JSON lines):
+  steps [tasks...]   — full env.step wall time / env-steps/s per task
+                       (default: G1 velocity + G1 tracking, resolves the
+                       round-2 throughput-inversion question)
+  solver <task>      — Newton-solver-only timing at a realistic rollout
+                       state: whole-solver Pallas kernel vs vmapped-XLA
+                       path (MXU Hessian + fused Cholesky)
+  phases <task>      — substep / make_efc / solve / smooth standalone
+                       timings (per-dispatch overhead included)
+  occupancy <task>   — active-contact slot occupancy stats over a random
+                       rollout (sizes K3/K1 compaction caps with data)
+
+Env knobs: MJLAB_BENCH_ENVS (default 4096), MJLAB_BENCH_STEPS (default 32).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mjlab_tpu.utils.cache import apply_platform_env, setup_compilation_cache
+
+apply_platform_env()
+setup_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+VEL = 'Mjlab-Velocity-Flat-Unitree-G1'
+TRK = 'Mjlab-Tracking-Flat-Unitree-G1'
+
+
+def _env(task, num_envs):
+  from mjlab_tpu.tasks import registry
+  cfg = registry.load_cfg(task)
+  cfg.scene.num_envs = num_envs
+  return registry.make(task, cfg=cfg)
+
+
+def _timeit(fn, *args, n=None, warmup=2):
+  n = n or int(os.environ.get('MJLAB_BENCH_STEPS', 32))
+  out = None
+  for _ in range(warmup):
+    out = fn(*args)
+  jax.block_until_ready(out)
+  t0 = time.perf_counter()
+  for _ in range(n):
+    out = fn(*args)
+  jax.block_until_ready(out)
+  return (time.perf_counter() - t0) / n
+
+
+def _rollout_state(env, n_warm=16, seed=0):
+  """Advance the env with random actions to a contact-rich mid-episode
+  state (resets leave t=0 states unrepresentative)."""
+  state, _ = env.init_state(seed)
+  step = jax.jit(env.step_fn, donate_argnums=(0,))
+  key = jax.random.PRNGKey(seed)
+  for i in range(n_warm):
+    key, k = jax.random.split(key)
+    act = 0.5 * jax.random.normal(k, (env.num_envs, env.action_dim))
+    state, _ = step(state, act)
+  return jax.block_until_ready(state)
+
+
+def cmd_steps(tasks, num_envs):
+  for task in tasks:
+    env = _env(task, num_envs)
+    state, _ = env.init_state(0)
+    step = jax.jit(env.step_fn, donate_argnums=(0,))
+    act = 0.5 * jax.random.normal(jax.random.PRNGKey(1),
+                                  (num_envs, env.action_dim))
+
+    def run(s):
+      s2, _ = step(s, act)
+      return s2
+    state = run(state)  # compile
+    dt = _timeit(run, state)
+    print(json.dumps({'bench': 'env.step', 'task': task,
+                      'num_envs': num_envs, 'ms': round(dt * 1e3, 2),
+                      'env_steps_per_s': round(num_envs / dt)}), flush=True)
+
+
+def _solver_inputs(env, state):
+  """Reproduce solver.solve's argument assembly at the given state (same
+  code path as physics/solver.py:358-425, pyramidal)."""
+  from mjlab_tpu.physics import constraint as C
+  from mjlab_tpu.physics import pipeline as P
+  from mjlab_tpu.physics import smooth as S
+
+  m, d = state.model, state.data
+  axes = env._model_axes
+
+  def pre(m, d):
+    d = P.fwd_position(m, d)
+    d = P.fwd_velocity(m, d)
+    d = S.actuation(m, d)
+    d = S.fwd_smooth(m, d)
+    return d, C.make_efc(m, d)
+
+  d2, efc = jax.jit(jax.vmap(pre, in_axes=(axes, 0)))(m, d)
+  s = m.stat
+  lay = C.efc_layout(s)
+  ne, nlt = lay.ne, lay.nlt
+  cat = lambda parts: jnp.concatenate(parts, axis=1)
+  if ne or nlt:
+    pre_J = ([efc['e_J']] if ne else []) + ([efc['t_J']] if nlt else [])
+    pre_a = ([efc['e_aref']] if ne else []) + ([efc['t_aref']] if nlt else [])
+    pre_D = ([efc['e_D']] if ne else []) + ([efc['t_D']] if nlt else [])
+    pre_c = ([efc['e_active']] if ne else []) + ([efc['t_active']] if nlt
+                                                 else [])
+    cJ = cat(pre_J + [efc['c_J']])
+    c_aref = cat(pre_a + [efc['c_aref']])
+    c_D = cat(pre_D + [efc['c_D']])
+    c_act = cat(pre_c + [efc['c_active']])
+  else:
+    cJ, c_aref, c_D, c_act = (efc['c_J'], efc['c_aref'], efc['c_D'],
+                              efc['c_active'])
+  args = (d2.qM, d2.qacc_smooth, d2.qacc_warmstart, cJ, c_aref, c_D,
+          c_act, efc['l_sign'], efc['l_aref'], efc['l_D'],
+          efc['l_active'], efc['f_aref'], efc['f_D'], efc['f_floss'],
+          efc['f_active'])
+  return jax.block_until_ready(args), s, ne
+
+
+def cmd_solver(task, num_envs):
+  from mjlab_tpu.physics import constraint as C
+  from mjlab_tpu.physics import solver as SV
+  env = _env(task, num_envs)
+  state = _rollout_state(env)
+  args, s, ne = _solver_inputs(env, state)
+  ldof = tuple(int(i) for i in C.limit_dofadr(s))
+  it, lsp = int(s.iterations), 2
+
+  for mega, label in ((True, 'pallas-whole-solver'),
+                      (False, 'xla+fused-cholesky')):
+    SV._MEGA_KERNEL = mega
+    SV._newton_fn.cache_clear()
+    fn = SV._newton_fn(it, lsp, ldof, ne)
+    run = jax.jit(lambda *a: fn(*a)[0])
+    run(*args)  # compile
+    dt = _timeit(run, *args)
+    print(json.dumps({'bench': 'newton-solve', 'path': label, 'task': task,
+                      'num_envs': num_envs, 'iterations': it,
+                      'ms': round(dt * 1e3, 3)}), flush=True)
+  SV._MEGA_KERNEL = os.environ.get('MJLAB_NEWTON_KERNEL', '1') == '1'
+  SV._newton_fn.cache_clear()
+
+
+def cmd_phases(task, num_envs):
+  from mjlab_tpu.physics import constraint as C
+  from mjlab_tpu.physics import pipeline as P
+  env = _env(task, num_envs)
+  state = _rollout_state(env)
+  m, d = state.model, state.data
+  axes = env._model_axes
+
+  substep = jax.jit(jax.vmap(P.step, in_axes=(axes, 0)))
+  fwd_pos = jax.jit(jax.vmap(P.fwd_position, in_axes=(axes, 0)))
+  mk_efc = jax.jit(jax.vmap(
+      lambda m, d: C.make_efc(m, d), in_axes=(axes, 0)))
+
+  for name, fn, arg in (('substep', substep, d),
+                        ('fwd_position(kin+collision)', fwd_pos, d)):
+    fn(m, arg)
+    dt = _timeit(lambda a: fn(m, a), arg)
+    print(json.dumps({'bench': 'phase', 'phase': name, 'task': task,
+                      'num_envs': num_envs,
+                      'ms': round(dt * 1e3, 2)}), flush=True)
+  d2 = jax.block_until_ready(fwd_pos(m, d))
+  mk_efc(m, d2)
+  dt = _timeit(lambda a: mk_efc(m, a), d2)
+  print(json.dumps({'bench': 'phase', 'phase': 'make_efc', 'task': task,
+                    'num_envs': num_envs, 'ms': round(dt * 1e3, 2)}),
+        flush=True)
+
+
+def cmd_occupancy(task, num_envs, n_steps=64):
+  from mjlab_tpu.physics import constraint as C
+  from mjlab_tpu.physics import pipeline as P
+  env = _env(task, num_envs)
+  s = env.model.stat
+  sl3, sl1 = C.compaction_slot_pools(s)
+  state, _ = env.init_state(0)
+  step = jax.jit(env.step_fn, donate_argnums=(0,))
+  axes = env._model_axes
+  fwd_pos = jax.jit(jax.vmap(P.fwd_position, in_axes=(axes, 0)))
+
+  @jax.jit
+  def counts(d):
+    pen = d.contact.dist - d.contact.includemargin  # (B, ncon)
+    active = pen < 0.0
+    return (active[:, jnp.asarray(sl3)].sum(-1),
+            active[:, jnp.asarray(sl1)].sum(-1))
+
+  key = jax.random.PRNGKey(0)
+  c3_all, c1_all = [], []
+  for i in range(n_steps):
+    key, k = jax.random.split(key)
+    act = 0.5 * jax.random.normal(k, (env.num_envs, env.action_dim))
+    state, _ = step(state, act)
+    d2 = fwd_pos(state.model, state.data)
+    c3, c1 = counts(d2)
+    c3_all.append(np.asarray(c3))
+    c1_all.append(np.asarray(c1))
+  c3 = np.concatenate(c3_all)
+  c1 = np.concatenate(c1_all)
+  q = lambda a: {'p50': int(np.percentile(a, 50)),
+                 'p99': int(np.percentile(a, 99)),
+                 'p999': int(np.percentile(a, 99.9)),
+                 'max': int(a.max())}
+  print(json.dumps({'bench': 'occupancy', 'task': task,
+                    'num_envs': num_envs, 'steps': n_steps,
+                    'K3_cap': int(s.ncon_cap), 'K1_cap': int(s.ncon_cap1),
+                    'frictional': q(c3), 'frictionless': q(c1)}),
+        flush=True)
+
+
+def main():
+  num_envs = int(os.environ.get('MJLAB_BENCH_ENVS', 4096))
+  cmd = sys.argv[1] if len(sys.argv) > 1 else 'steps'
+  rest = sys.argv[2:]
+  if cmd == 'steps':
+    cmd_steps(rest or [VEL, TRK], num_envs)
+  elif cmd == 'solver':
+    cmd_solver(rest[0] if rest else VEL, num_envs)
+  elif cmd == 'phases':
+    cmd_phases(rest[0] if rest else VEL, num_envs)
+  elif cmd == 'occupancy':
+    cmd_occupancy(rest[0] if rest else VEL, num_envs)
+  else:
+    raise SystemExit(f'unknown subcommand {cmd}')
+
+
+if __name__ == '__main__':
+  main()
