@@ -75,14 +75,31 @@ def _fk(model, d, mj):
 
 
 def test_hull_build():
+  # 'octa' is used by the colliding body-1 geom; 'gem' is declared but
+  # referenced by NO geom in this scene, so (like a visual-only STL
+  # shell) its hull row must be skipped: zero mask + rin == 0
   mj = _scene('sphere', (1, 0, 0), (0, 0, 0))
   model = io.put_model(mj, dtype=jnp.float64)
   h = model.stat.mesh_hulls
   assert h is not None and model.stat.nmesh == 2
-  assert int(h.vmask[0].sum()) == 6  # octahedron: all 6 verts on hull
-  assert int(h.fmask[0].sum()) == 8
+  octa = int(mj.geom_dataid[mj.geom_dataid >= 0][0])
+  gem = 1 - octa
+  assert int(h.vmask[octa].sum()) == 6  # octahedron: all 6 verts on hull
+  assert int(h.fmask[octa].sum()) == 8
+  assert h.rin[octa] > 0
+  # unreferenced/visual-only mesh: hull-build skipped entirely
+  assert h.rin[gem] == 0 and int(h.vmask[gem].sum()) == 0
+  # outward planes of the built hull: center strictly inside
+  margins = h.foff[octa] - h.fnorm[octa] @ h.center[octa]
+  assert (margins[h.fmask[octa] > 0] > 0).all()
+
+
+def test_hull_build_all_colliding():
+  # both meshes carried by colliding geoms -> both hulls built
+  mj = _scene('mesh2', (1, 0, 0), (0, 0, 0))
+  model = io.put_model(mj, dtype=jnp.float64)
+  h = model.stat.mesh_hulls
   assert (h.rin > 0).all()
-  # outward planes: center strictly inside
   for i in range(2):
     margins = h.foff[i] - h.fnorm[i] @ h.center[i]
     assert (margins[h.fmask[i] > 0] > 0).all()
