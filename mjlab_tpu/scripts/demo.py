@@ -3,10 +3,13 @@ reference src/mjlab/scripts/demo.py, which downloads a pretrained
 checkpoint + motion from GCS and launches play).
 
 This environment has no egress, so instead of a GCS fetch the demo:
-  1. uses a local checkpoint if one exists under --log-root, else
-  2. trains a quick policy (a few hundred iterations on the chip — the
+  1. uses the repo-shipped pretrained checkpoint
+     (mjlab_tpu/asset_zoo/pretrained/<experiment>/ — the committed
+     analog of the reference's sha256-cached GCS artifact), else
+  2. uses a local checkpoint if one exists under --log-root, else
+  3. trains a quick policy (a few hundred iterations on the chip — the
      Go1 flat task reaches walking in ~2-4 minutes at 4096 envs), then
-  3. runs the play loop (viewer when a display exists, stats otherwise).
+  4. runs the play loop (viewer when a display exists, stats otherwise).
 
 Usage: python -m mjlab_tpu.scripts.demo [--task Mjlab-Velocity-Flat-Unitree-Go1]
 """
@@ -36,25 +39,37 @@ def main(argv=None):
 
   agent_cfg = registry.load_cfg(args.task, 'rl_cfg_entry_point')
   ckpt = None
-  try:
-    ckpt = get_checkpoint_path(
-        os.path.join(args.log_root, agent_cfg.experiment_name))
-    print(f'[demo] found checkpoint {ckpt}')
-  except (FileNotFoundError, OSError):
-    print(f'[demo] no checkpoint under {args.log_root}; training '
-          f'{args.train_iterations} iterations first (the reference '
-          f'downloads a pretrained one from GCS — no egress here)')
-    from mjlab_tpu.scripts.train import main as train_main
-    train_main([args.task, '--log-root', args.log_root,
-                '--run-name', 'demo',
-                '--agent.max_iterations', str(args.train_iterations),
-                '--env.scene.num_envs', str(args.num_envs)])
-    ckpt = get_checkpoint_path(
-        os.path.join(args.log_root, agent_cfg.experiment_name))
+  pretrained_root = os.path.join(
+      os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+      'asset_zoo', 'pretrained', agent_cfg.experiment_name)
+  if os.path.isdir(pretrained_root):
+    try:
+      ckpt = get_checkpoint_path(os.path.dirname(pretrained_root),
+                                 run_regex=agent_cfg.experiment_name)
+      print(f'[demo] using shipped pretrained checkpoint {ckpt}')
+    except (FileNotFoundError, OSError):
+      pass
+  if ckpt is None:
+    try:
+      ckpt = get_checkpoint_path(
+          os.path.join(args.log_root, agent_cfg.experiment_name))
+      print(f'[demo] found checkpoint {ckpt}')
+    except (FileNotFoundError, OSError):
+      print(f'[demo] no checkpoint under {args.log_root}; training '
+            f'{args.train_iterations} iterations first (the reference '
+            f'downloads a pretrained one from GCS — no egress here)')
+      from mjlab_tpu.scripts.train import main as train_main
+      train_main([args.task, '--log-root', args.log_root,
+                  '--run-name', 'demo',
+                  '--agent.max_iterations', str(args.train_iterations),
+                  '--env.scene.num_envs', str(args.num_envs)])
+      ckpt = get_checkpoint_path(
+          os.path.join(args.log_root, agent_cfg.experiment_name))
 
   from mjlab_tpu.scripts.play import main as play_main
   play_args = [args.task, '--agent', 'trained', '--checkpoint', ckpt,
-               '--log-root', args.log_root, '--steps', str(args.steps)]
+               '--log-root', args.log_root, '--steps', str(args.steps),
+               '--env.scene.num-envs', str(min(args.num_envs, 16))]
   if os.environ.get('DISPLAY'):
     play_args.append('--viewer')
   play_main(play_args)
