@@ -149,10 +149,20 @@ class OnPolicyRunner:
         # "Checkpoint directory does not exist: ...orbax-checkpoint-tmp"
         # AFTER the final directory was fully committed). A checkpoint
         # hiccup must never kill a training run: if the committed
-        # checkpoint restores, continue; otherwise re-raise.
-        ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        # checkpoint restores AND is the one we just tried to write
+        # (a stale pre-existing checkpoint at the same path — possible
+        # after --resume, since force=True overwrites — must not mask a
+        # genuine save failure), continue; otherwise re-raise.
+        restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        saved_it = int(np.asarray(restored['iteration']))
+        want_it = int(np.asarray(payload['iteration']))
+        if saved_it != want_it:
+          raise RuntimeError(
+              f'checkpoint at {path} is stale (iteration {saved_it}, '
+              f'expected {want_it}); original save error: {e!r}') from e
         print(f'[ckpt] save raised {e!r} after commit; checkpoint at '
-              f'{path} verified restorable, continuing', flush=True)
+              f'{path} verified fresh (iteration {saved_it}), continuing',
+              flush=True)
     except ImportError:
       import pickle
       with open(path, 'wb') as f:

@@ -56,6 +56,22 @@ def _timeit(fn, *args, n=None, warmup=2):
   return (time.perf_counter() - t0) / n
 
 
+def _timeit_chain(fn, state, n=None, warmup=2):
+  """Time fn(state)->state where fn donates its argument: the input
+  buffers are deleted on every call, so the state must be threaded
+  through the loop (passing the same state twice fails on TPU with
+  'Array has been deleted'; CPU ignores donation, masking the bug)."""
+  n = n or int(os.environ.get('MJLAB_BENCH_STEPS', 32))
+  for _ in range(warmup):
+    state = fn(state)
+  state = jax.block_until_ready(state)
+  t0 = time.perf_counter()
+  for _ in range(n):
+    state = fn(state)
+  jax.block_until_ready(state)
+  return (time.perf_counter() - t0) / n
+
+
 def _rollout_state(env, n_warm=16, seed=0):
   """Advance the env with random actions to a contact-rich mid-episode
   state (resets leave t=0 states unrepresentative)."""
@@ -81,7 +97,7 @@ def cmd_steps(tasks, num_envs):
       s2, _ = step(s, act)
       return s2
     state = run(state)  # compile
-    dt = _timeit(run, state)
+    dt = _timeit_chain(run, state)
     print(json.dumps({'bench': 'env.step', 'task': task,
                       'num_envs': num_envs, 'ms': round(dt * 1e3, 2),
                       'env_steps_per_s': round(num_envs / dt)}), flush=True)
