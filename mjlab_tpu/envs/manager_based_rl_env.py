@@ -162,10 +162,56 @@ class ManagerBasedRlEnv:
         obs=self.observation_manager.init_state())
     self._template_state = probe_state
 
+    # --- physics-blowup forensic capture (debug-only, off by default) ---
+    # MJLAB_BLOWUP_DUMP=<dir>: whenever the in-step blowup guard fires,
+    # dump the PRE-substep state (qpos/qvel/ctrl/warmstart/applied
+    # forces) + processed action + per-env randomized model leaves of the
+    # offending envs, so the exact exploding control step can be replayed
+    # offline (tools/blowup_replay.py) under f64 / other solver settings.
+    # The env's own NaN self-heal sanitizes data before NanGuard sees it,
+    # so this is the only way to capture the true pre-explosion state.
+    import os as _os
+    self._blowup_dump_dir = _os.environ.get('MJLAB_BLOWUP_DUMP') or None
+    self._blowup_count = 0
+    self._blowup_max = int(_os.environ.get('MJLAB_BLOWUP_DUMP_MAX', 40))
+    mf = []
+    for f in dataclasses.fields(type(self.model)):
+      ax = getattr(self._model_axes, f.name, None)
+      if isinstance(ax, int) and ax == 0:
+        mf.append(f.name)
+    self._batched_model_fields = mf
+
     # --- compiled functions ---
     self._step_jit = jax.jit(self._step_fn, donate_argnums=(0,))
     self._reset_jit = jax.jit(self._reset_fn)
     self._state: EnvState | None = None
+
+  def _on_blowup(self, bad, qpos, qvel, ctrl, warm, xfrc, qfrc, t,
+                 processed, eplen, peaks, *model_leaves):
+    """Host callback: persist pre-explosion snapshots of the bad envs."""
+    bad_ids = np.nonzero(np.asarray(bad))[0]
+    if len(bad_ids) == 0 or self._blowup_count >= self._blowup_max:
+      return
+    self._blowup_count += 1
+    import os as _os
+    _os.makedirs(self._blowup_dump_dir, exist_ok=True)
+    ids = bad_ids[:16]
+    payload = dict(
+        env_ids=ids, qpos=np.asarray(qpos)[ids], qvel=np.asarray(qvel)[ids],
+        ctrl=np.asarray(ctrl)[ids], qacc_warmstart=np.asarray(warm)[ids],
+        xfrc_applied=np.asarray(xfrc)[ids], qfrc_applied=np.asarray(qfrc)[ids],
+        time=np.asarray(t)[ids], processed_action=np.asarray(processed)[ids],
+        episode_length=np.asarray(eplen)[ids],
+        qvel_peaks=np.asarray(peaks)[:, ids],
+        model_field_names=np.array(self._batched_model_fields),
+        n_bad_total=len(bad_ids))
+    for name, leaf in zip(self._batched_model_fields, model_leaves):
+      payload[f'model_{name}'] = np.asarray(leaf)[ids]
+    path = _os.path.join(self._blowup_dump_dir,
+                         f'blowup_{self._blowup_count:03d}.npz')
+    np.savez(path, **payload)
+    print(f'[blowup] {len(bad_ids)} envs blew up; pre-step state of '
+          f'{len(ids)} dumped to {path}', flush=True)
 
   # ------------------------------------------------------------------
   # context
@@ -280,6 +326,7 @@ class ManagerBasedRlEnv:
 
     # decimation loop (lax.scan: physics is traced once, not 4x)
     ctx = self._make_ctx(state)
+    pre = state.data  # pre-substep snapshot for blowup forensics
 
     def substep(data, _):
       data = self.action_manager.apply(ctx, data, processed)
@@ -307,6 +354,16 @@ class ManagerBasedRlEnv:
     # mid-control-step is caught one step earlier.
     phys_bad = phys_bad | (
         jnp.max(qvel_peaks, axis=0) > self.cfg.sanity_qvel_limit)
+    if self._blowup_dump_dir:
+      dump_args = (phys_bad, pre.qpos, pre.qvel, pre.ctrl,
+                   pre.qacc_warmstart, pre.xfrc_applied, pre.qfrc_applied,
+                   pre.time, processed, state.episode_length, qvel_peaks,
+                   *(getattr(state.model, f)
+                     for f in self._batched_model_fields))
+      jax.lax.cond(
+          jnp.any(phys_bad),
+          lambda a: jax.debug.callback(self._on_blowup, *a, ordered=False),
+          lambda a: None, dump_args)
     data = jax.tree.map(
         lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0, neginf=0.0)
         if jnp.issubdtype(a.dtype, jnp.inexact) else a, data)
