@@ -164,54 +164,123 @@ class ManagerBasedRlEnv:
 
     # --- physics-blowup forensic capture (debug-only, off by default) ---
     # MJLAB_BLOWUP_DUMP=<dir>: whenever the in-step blowup guard fires,
-    # dump the PRE-substep state (qpos/qvel/ctrl/warmstart/applied
+    # record the PRE-substep state (qpos/qvel/ctrl/warmstart/applied
     # forces) + processed action + per-env randomized model leaves of the
     # offending envs, so the exact exploding control step can be replayed
     # offline (tools/blowup_replay.py) under f64 / other solver settings.
     # The env's own NaN self-heal sanitizes data before NanGuard sees it,
     # so this is the only way to capture the true pre-explosion state.
+    # Capture is a DEVICE-SIDE ring buffer in EnvState (the axon TPU
+    # plugin does not support host callbacks inside jit); the host
+    # fetches it out-of-band via maybe_dump_forensics().
     import os as _os
     self._blowup_dump_dir = _os.environ.get('MJLAB_BLOWUP_DUMP') or None
-    self._blowup_count = 0
-    self._blowup_max = int(_os.environ.get('MJLAB_BLOWUP_DUMP_MAX', 40))
+    self._blowup_count = 0  # host-side: ring slots persisted so far
+    self._forensic_cap = int(_os.environ.get('MJLAB_BLOWUP_DUMP_MAX', 40))
+    self._forensic_k = min(8, self.num_envs)  # captures per control step
     mf = []
     for f in dataclasses.fields(type(self.model)):
       ax = getattr(self._model_axes, f.name, None)
       if isinstance(ax, int) and ax == 0:
         mf.append(f.name)
     self._batched_model_fields = mf
+    if self._blowup_dump_dir:
+      cap = self._forensic_cap
+      dec = int(self.cfg.decimation)
+      ring = {
+          'count': jnp.zeros((), jnp.int32),
+          'total_bad': jnp.zeros((), jnp.int32),
+          'env_id': jnp.full((cap,), -1, jnp.int32),
+          'episode_length': jnp.zeros((cap,), jnp.int32),
+          'time': jnp.zeros((cap,), data.time.dtype),
+          'qpos': jnp.zeros((cap,) + data.qpos.shape[1:], data.qpos.dtype),
+          'qvel': jnp.zeros((cap,) + data.qvel.shape[1:], data.qvel.dtype),
+          'ctrl': jnp.zeros((cap,) + data.ctrl.shape[1:], data.ctrl.dtype),
+          'qacc_warmstart': jnp.zeros(
+              (cap,) + data.qacc_warmstart.shape[1:],
+              data.qacc_warmstart.dtype),
+          'xfrc_applied': jnp.zeros(
+              (cap,) + data.xfrc_applied.shape[1:], data.xfrc_applied.dtype),
+          'qfrc_applied': jnp.zeros(
+              (cap,) + data.qfrc_applied.shape[1:], data.qfrc_applied.dtype),
+          'processed_action': jnp.zeros(
+              (cap, self.action_manager.total_dim)),
+          'qvel_peaks': jnp.zeros((cap, dec), data.qvel.dtype),
+      }
+      for f in self._batched_model_fields:
+        leaf = getattr(self.model, f)
+        ring[f'model_{f}'] = jnp.zeros((cap,) + leaf.shape[1:], leaf.dtype)
+      self._template_state = self._template_state.replace(forensic=ring)
 
     # --- compiled functions ---
     self._step_jit = jax.jit(self._step_fn, donate_argnums=(0,))
     self._reset_jit = jax.jit(self._reset_fn)
     self._state: EnvState | None = None
 
-  def _on_blowup(self, bad, qpos, qvel, ctrl, warm, xfrc, qfrc, t,
-                 processed, eplen, peaks, *model_leaves):
-    """Host callback: persist pre-explosion snapshots of the bad envs."""
-    bad_ids = np.nonzero(np.asarray(bad))[0]
-    if len(bad_ids) == 0 or self._blowup_count >= self._blowup_max:
-      return
-    self._blowup_count += 1
+  def _forensic_write(self, ring: dict, bad: jax.Array, pre,
+                      processed: jax.Array, state: EnvState,
+                      qvel_peaks: jax.Array) -> dict:
+    """Device-side: scatter up to K exploding envs' pre-step snapshots
+    into the ring buffer (newest-wins modulo ring). Invalid slots index
+    out of bounds and are dropped by the scatter, so this is branchless
+    and cheap on the no-blowup path."""
+    cap, k = self._forensic_cap, self._forensic_k
+    ids = jnp.nonzero(bad, size=k, fill_value=-1)[0].astype(jnp.int32)
+    valid = ids >= 0
+    slots = jnp.where(
+        valid,
+        (ring['count'] + jnp.cumsum(valid.astype(jnp.int32)) - 1) % cap,
+        cap)  # cap = out of bounds -> mode='drop' discards the write
+    safe = jnp.maximum(ids, 0)
+    vals = {
+        'env_id': ids,
+        'episode_length': state.episode_length[safe],
+        'time': pre.time[safe],
+        'qpos': pre.qpos[safe],
+        'qvel': pre.qvel[safe],
+        'ctrl': pre.ctrl[safe],
+        'qacc_warmstart': pre.qacc_warmstart[safe],
+        'xfrc_applied': pre.xfrc_applied[safe],
+        'qfrc_applied': pre.qfrc_applied[safe],
+        'processed_action': processed[safe],
+        'qvel_peaks': qvel_peaks[:, safe].T,
+    }
+    for f in self._batched_model_fields:
+      vals[f'model_{f}'] = getattr(state.model, f)[safe]
+    new = {key: ring[key].at[slots].set(v, mode='drop')
+           for key, v in vals.items()}
+    new['count'] = ring['count'] + jnp.sum(valid.astype(jnp.int32))
+    new['total_bad'] = ring['total_bad'] + jnp.sum(bad.astype(jnp.int32))
+    return new
+
+  def maybe_dump_forensics(self, state: EnvState | None = None) -> int:
+    """Host-side: fetch the blowup ring off-device and persist it as
+    tools/blowup_replay.py-compatible npz. No-op when capture is off or
+    nothing new was captured. Returns the total captured count."""
+    state = state if state is not None else self._state
+    if not self._blowup_dump_dir or not state or not state.forensic:
+      return 0
+    ring = jax.device_get(state.forensic)
+    count = int(ring['count'])
+    if count <= self._blowup_count:
+      return count
+    self._blowup_count = count
     import os as _os
     _os.makedirs(self._blowup_dump_dir, exist_ok=True)
-    ids = bad_ids[:16]
-    payload = dict(
-        env_ids=ids, qpos=np.asarray(qpos)[ids], qvel=np.asarray(qvel)[ids],
-        ctrl=np.asarray(ctrl)[ids], qacc_warmstart=np.asarray(warm)[ids],
-        xfrc_applied=np.asarray(xfrc)[ids], qfrc_applied=np.asarray(qfrc)[ids],
-        time=np.asarray(t)[ids], processed_action=np.asarray(processed)[ids],
-        episode_length=np.asarray(eplen)[ids],
-        qvel_peaks=np.asarray(peaks)[:, ids],
-        model_field_names=np.array(self._batched_model_fields),
-        n_bad_total=len(bad_ids))
-    for name, leaf in zip(self._batched_model_fields, model_leaves):
-      payload[f'model_{name}'] = np.asarray(leaf)[ids]
-    path = _os.path.join(self._blowup_dump_dir,
-                         f'blowup_{self._blowup_count:03d}.npz')
+    keep = np.asarray(ring['env_id']) >= 0
+    payload = {k: np.asarray(v)[keep] for k, v in ring.items()
+               if k not in ('count', 'total_bad')}
+    payload['env_ids'] = payload.pop('env_id')
+    # replay expects (decimation, n) like the in-step scan emits
+    payload['qvel_peaks'] = payload['qvel_peaks'].T
+    payload['n_bad_total'] = int(ring['total_bad'])
+    payload['model_field_names'] = np.array(self._batched_model_fields)
+    path = _os.path.join(self._blowup_dump_dir, 'blowup_ring.npz')
     np.savez(path, **payload)
-    print(f'[blowup] {len(bad_ids)} envs blew up; pre-step state of '
-          f'{len(ids)} dumped to {path}', flush=True)
+    print(f'[blowup] ring has {count} captures '
+          f'({int(ring["total_bad"])} bad envs total); latest '
+          f'{int(keep.sum())} snapshot(s) -> {path}', flush=True)
+    return count
 
   # ------------------------------------------------------------------
   # context
@@ -355,15 +424,8 @@ class ManagerBasedRlEnv:
     phys_bad = phys_bad | (
         jnp.max(qvel_peaks, axis=0) > self.cfg.sanity_qvel_limit)
     if self._blowup_dump_dir:
-      dump_args = (phys_bad, pre.qpos, pre.qvel, pre.ctrl,
-                   pre.qacc_warmstart, pre.xfrc_applied, pre.qfrc_applied,
-                   pre.time, processed, state.episode_length, qvel_peaks,
-                   *(getattr(state.model, f)
-                     for f in self._batched_model_fields))
-      jax.lax.cond(
-          jnp.any(phys_bad),
-          lambda a: jax.debug.callback(self._on_blowup, *a, ordered=False),
-          lambda a: None, dump_args)
+      state = state.replace(forensic=self._forensic_write(
+          state.forensic, phys_bad, pre, processed, state, qvel_peaks))
     data = jax.tree.map(
         lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0, neginf=0.0)
         if jnp.issubdtype(a.dtype, jnp.inexact) else a, data)

@@ -40,6 +40,10 @@ class EnvState:
   curriculum: dict
   # stateful reward-term state (per-foot clocks etc.); {} when none
   reward: dict = struct.field(default_factory=dict)
+  # physics-blowup forensic ring buffer (MJLAB_BLOWUP_DUMP debug mode
+  # only; {} in production). Device-side because the axon TPU plugin
+  # does not support host callbacks (jax.debug.callback) inside jit.
+  forensic: dict = struct.field(default_factory=dict)
 
 
 @dataclasses.dataclass

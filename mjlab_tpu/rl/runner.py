@@ -77,6 +77,12 @@ class OnPolicyRunner:
         logs['wall_s'] = time.time() - t_start
         last_logs = logs
         self._write_log(logs)
+        # blowup-forensics ring (MJLAB_BLOWUP_DUMP debug mode; no-op and
+        # attribute-guarded otherwise — the env fetches the device-side
+        # ring here because axon cannot host-callback from inside jit)
+        dump = getattr(self.env, 'maybe_dump_forensics', None)
+        if dump is not None:
+          dump(self.ts.env_state)
       if self.log_dir and self.cfg.save_interval and \
           (it + 1) % self.cfg.save_interval == 0:
         # name by the TRUE training iteration (survives --resume; a
@@ -135,7 +141,12 @@ class OnPolicyRunner:
         'iteration': self.ts.iteration,
     }
     if full_state:
-      payload['env_state'] = self.ts.env_state
+      env_state = self.ts.env_state
+      # debug-only blowup-forensics ring is never checkpointed: it would
+      # couple checkpoint structure to a transient debug mode
+      if getattr(env_state, 'forensic', None):
+        env_state = env_state.replace(forensic={})
+      payload['env_state'] = env_state
       payload['obs'] = self.ts.obs
     payload = jax.device_get(payload)
     try:
@@ -194,10 +205,29 @@ class OnPolicyRunner:
       # orbax returns StepMetadata (newer) or a plain tree (older)
       tree = getattr(getattr(md, 'item_metadata', md), 'tree', md)
       saved_keys = set(tree.keys())
-      if 'env_state' not in saved_keys:
-        template.pop('env_state')
+      if 'env_state' not in saved_keys or not load_env_state:
+        # checkpoint lacks env state, or the caller doesn't want it:
+        # restore only the learner subtree. partial_restore also decouples
+        # us from the saved env_state's structure (e.g. pre-forensics
+        # checkpoints vs an env built with MJLAB_BLOWUP_DUMP on).
+        template.pop('env_state', None)
         template.pop('obs', None)
-      payload = ckptr.restore(path, item=template)
+        payload = ckptr.restore(path, args=ocp.args.PyTreeRestore(
+            item=template,
+            partial_restore='env_state' in saved_keys))
+      else:
+        # env-state restore: the forensic ring is never checkpointed
+        # (see save()), so restore with an empty ring in the template
+        # (partial, to tolerate pre-forensics checkpoints that lack the
+        # key entirely) and graft the live ring back afterwards.
+        live_ring = getattr(self.ts.env_state, 'forensic', {})
+        if hasattr(self.ts.env_state, 'forensic'):
+          template['env_state'] = self.ts.env_state.replace(forensic={})
+        payload = ckptr.restore(path, args=ocp.args.PyTreeRestore(
+            item=template, partial_restore=True))
+        if live_ring:
+          payload['env_state'] = payload['env_state'].replace(
+              forensic=live_ring)
     else:
       import pickle
       with open(path, 'rb') as f:
