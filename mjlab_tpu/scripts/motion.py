@@ -130,6 +130,115 @@ def csv_to_npz(csv_path: str, robot_cfg, output_path: str,
   return output_path
 
 
+def project_ground_clearance(mj_model, qpos: np.ndarray, root_z_adr: int,
+                             clearance: float = 0.002) -> None:
+  """Lift each frame's root so the lowest collision-geom surface point
+  sits at ~`clearance` above z=0 (in place). Hand-authored kinematic
+  motions do not keep the feet on the floor exactly; frames that dip
+  collision geoms below the plane would make RSI resets start deeply
+  penetrated (multi-cm), which explodes f32 contact forces."""
+  import mujoco
+  d = mujoco.MjData(mj_model)
+  for fi in range(qpos.shape[0]):
+    d.qpos[:] = qpos[fi]
+    mujoco.mj_kinematics(mj_model, d)
+    zmin = np.inf
+    for g in range(mj_model.ngeom):
+      if mj_model.geom_contype[g] == 0 and mj_model.geom_conaffinity[g] == 0:
+        continue
+      xz = d.geom_xpos[g][2]
+      R = d.geom_xmat[g].reshape(3, 3)
+      sz = mj_model.geom_size[g]
+      typ = mj_model.geom_type[g]
+      if typ == mujoco.mjtGeom.mjGEOM_SPHERE:
+        z = xz - sz[0]
+      elif typ == mujoco.mjtGeom.mjGEOM_CAPSULE:
+        z = xz - abs(R[2, 2]) * sz[1] - sz[0]
+      elif typ == mujoco.mjtGeom.mjGEOM_BOX:
+        z = xz - float(np.abs(R[2, :]) @ sz)
+      else:
+        z = xz - mj_model.geom_rbound[g]  # conservative bound
+      zmin = min(zmin, float(z))
+    qpos[fi, root_z_adr] += max(0.0, clearance - zmin)
+
+
+def generate_g1_walk_csv(csv_path: str, duration_s: float = 10.0,
+                         fps: float = 30.0, gait_hz: float = 1.2,
+                         turn_deg_s: float = 30.0) -> str:
+  """Author a synthetic multi-second G1 walk-and-turn clip as a raw CSV
+  in the retargeting-pipeline input format (rows = [base_pos(3),
+  base_quat(4, wxyz), joint_pos(29)]) — the same schema the reference's
+  csv_to_npz consumes for retargeted human mocap
+  (reference src/mjlab/scripts/csv_to_npz.py:98-151). The clip walks
+  straight, executes a 90-degree left turn, then walks straight again,
+  with alternating leg swings, knee flexion during swing, ankle ground
+  compensation and arm counter-swing. Feet are kept clear of the plane
+  by project_ground_clearance before writing."""
+  from mjlab_tpu.asset_zoo.unitree_g1 import G1_ROBOT_CFG, HOME_KEYFRAME
+  from mjlab_tpu.entity.entity import Entity
+  from mjlab_tpu.utils.string import resolve_matching_names_values
+
+  ent = Entity(G1_ROBOT_CFG)
+  mj = ent.spec.compile()
+  idx = ent.compute_indexing(mj, '')
+  names = list(idx.joint_names)
+  nj = len(names)
+  T = int(duration_s * fps)
+  t = np.arange(T) / fps
+
+  base_j = np.zeros(nj)
+  ids, _, vals = resolve_matching_names_values(
+      HOME_KEYFRAME.joint_pos, names)
+  base_j[ids] = vals
+  joint = np.tile(base_j, (T, 1))
+  j = {n: i for i, n in enumerate(names)}
+
+  # gait phases: left leg leads, right leg half a cycle behind
+  phase = 2 * np.pi * gait_hz * t
+  swing_amp, knee_amp = 0.22, 0.35
+  for side, ph in (('left', phase), ('right', phase + np.pi)):
+    s, c = np.sin(ph), np.cos(ph)
+    # hip pitch swings the leg fore/aft about the crouched home pose
+    joint[:, j[f'{side}_hip_pitch_joint']] = -0.1 - swing_amp * s
+    # knee flexes while the leg swings forward (unloaded half-cycle)
+    joint[:, j[f'{side}_knee_joint']] = 0.3 + knee_amp * np.maximum(c, 0.0)
+    # ankle keeps the foot roughly level with the ground
+    joint[:, j[f'{side}_ankle_pitch_joint']] = (
+        -0.2 + swing_amp * s - knee_amp * np.maximum(c, 0.0) * 0.5)
+  # arm counter-swing (opposite the ipsilateral leg)
+  joint[:, j['left_shoulder_pitch_joint']] = 0.2 + 0.15 * np.sin(phase)
+  joint[:, j['right_shoulder_pitch_joint']] = 0.2 - 0.15 * np.sin(phase)
+
+  # heading: straight 40%, left turn to 90 deg, straight again
+  turn_rate = np.zeros(T)
+  t0, t1 = 0.4 * duration_s, 0.4 * duration_s + 90.0 / turn_deg_s
+  turn_rate[(t >= t0) & (t < t1)] = np.deg2rad(turn_deg_s)
+  yaw = np.cumsum(turn_rate) / fps
+
+  # forward speed consistent with the leg swing (stride ~= 2 L sin(A))
+  leg_len = 0.6
+  speed = 2.0 * leg_len * np.sin(swing_amp) * gait_hz
+  heading = np.stack([np.cos(yaw), np.sin(yaw)], -1)
+  pos_xy = np.cumsum(speed * heading / fps, axis=0)
+
+  qpos = np.zeros((T, mj.nq))
+  qpos[:, idx.free_q_adr[0]:idx.free_q_adr[0] + 2] = pos_xy
+  # slight vertical bob at twice the gait frequency
+  qpos[:, idx.free_q_adr[2]] = HOME_KEYFRAME.pos[2] - 0.02 * (
+      1 - np.cos(2 * phase)) * 0.5
+  qpos[:, idx.free_q_adr[3]] = np.cos(yaw / 2)  # w
+  qpos[:, idx.free_q_adr[6]] = np.sin(yaw / 2)  # z
+  qpos[:, idx.q_adr] = joint
+  project_ground_clearance(mj, qpos, int(idx.free_q_adr[2]))
+
+  rows = np.concatenate([
+      qpos[:, idx.free_q_adr[0]:idx.free_q_adr[0] + 3],
+      qpos[:, idx.free_q_adr[3]:idx.free_q_adr[3] + 4],
+      qpos[:, idx.q_adr]], axis=1)
+  np.savetxt(csv_path, rows, delimiter=',')
+  return csv_path
+
+
 def generate_g1_squat_motion(output_path: str, duration_s: float = 8.0,
                              fps: float = 50.0) -> str:
   """Synthetic squat + arm-swing reference motion for the G1 (kinematic),
@@ -183,35 +292,7 @@ def generate_g1_squat_motion(output_path: str, duration_s: float = 8.0,
 
   qpos[:, idx.q_adr] = joint
 
-  import mujoco
-
-  # ground-clearance projection: the hand-tuned crouch gains do not keep
-  # the feet on the floor kinematically; frames that dip collision geoms
-  # below z=0 would make RSI resets start deeply penetrated (multi-cm),
-  # which explodes f32 contact forces. Per frame, FK the pose and lift the
-  # root so the lowest collision-geom surface point sits at ~2 mm.
-  d = mujoco.MjData(mj)
-  for fi in range(T):
-    d.qpos[:] = qpos[fi]
-    mujoco.mj_kinematics(mj, d)
-    zmin = np.inf
-    for g in range(mj.ngeom):
-      if mj.geom_contype[g] == 0 and mj.geom_conaffinity[g] == 0:
-        continue
-      xz = d.geom_xpos[g][2]
-      R = d.geom_xmat[g].reshape(3, 3)
-      sz = mj.geom_size[g]
-      typ = mj.geom_type[g]
-      if typ == mujoco.mjtGeom.mjGEOM_SPHERE:
-        z = xz - sz[0]
-      elif typ == mujoco.mjtGeom.mjGEOM_CAPSULE:
-        z = xz - abs(R[2, 2]) * sz[1] - sz[0]
-      elif typ == mujoco.mjtGeom.mjGEOM_BOX:
-        z = xz - float(np.abs(R[2, :]) @ sz)
-      else:
-        z = xz - mj.geom_rbound[g]  # conservative bound
-      zmin = min(zmin, float(z))
-    qpos[fi, idx.free_q_adr[2]] += max(0.0, 0.002 - zmin)
+  project_ground_clearance(mj, qpos, int(idx.free_q_adr[2]))
 
   motion = qpos_to_motion(mj, list(idx.body_names), idx.q_adr,
                           idx.free_q_adr, qpos, fps)
@@ -255,6 +336,10 @@ def main(argv=None):
   parser.add_argument('--synthetic-squat', action='store_true',
                       help='generate the synthetic G1 squat instead of '
                       'reading a CSV')
+  parser.add_argument('--synthetic-walk', action='store_true',
+                      help='author the synthetic G1 walk-and-turn clip as '
+                      'a CSV next to --output and run it through the full '
+                      'csv_to_npz retargeting path')
   parser.add_argument('--render', default=None, metavar='MP4',
                       help='also render a kinematic replay video')
   args = parser.parse_args(argv)
@@ -268,6 +353,15 @@ def main(argv=None):
     if args.robot != 'g1':
       parser.error('--synthetic-squat generates a G1 motion; use --robot g1')
     generate_g1_squat_motion(args.output, fps=args.output_fps)
+  elif args.synthetic_walk:
+    if args.robot != 'g1':
+      parser.error('--synthetic-walk generates a G1 motion; use --robot g1')
+    import os
+    csv_path = os.path.splitext(args.output)[0] + '.csv'
+    generate_g1_walk_csv(csv_path, fps=args.input_fps)
+    print(f'wrote {csv_path}')
+    csv_to_npz(csv_path, robot_cfg, args.output,
+               input_fps=args.input_fps, output_fps=args.output_fps)
   elif args.csv:
     csv_to_npz(args.csv, robot_cfg, args.output,
                input_fps=args.input_fps, output_fps=args.output_fps)

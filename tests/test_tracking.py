@@ -39,6 +39,28 @@ def test_motion_npz_schema(motion_file):
   assert z.max() - z.min() > 0.05
 
 
+def test_walk_csv_pipeline(tmp_path):
+  """Synthetic walk clip goes through the full CSV retargeting path
+  (generate_g1_walk_csv -> csv_to_npz, reference csv_to_npz.py:98-151)."""
+  from mjlab_tpu.asset_zoo.unitree_g1 import G1_ROBOT_CFG
+  from mjlab_tpu.scripts.motion import csv_to_npz, generate_g1_walk_csv
+  csv = str(tmp_path / 'walk.csv')
+  generate_g1_walk_csv(csv, duration_s=2.5, fps=30.0)
+  raw = np.loadtxt(csv, delimiter=',')
+  assert raw.shape[1] == 3 + 4 + 29
+  out = str(tmp_path / 'walk.npz')
+  csv_to_npz(csv, G1_ROBOT_CFG, out, input_fps=30.0, output_fps=50.0)
+  blob = np.load(out)
+  assert all(np.isfinite(blob[k]).all() for k in blob.files)
+  # the clip actually translates (it is a walk, not a hold)
+  root = blob['body_pos_w'][:, 0]
+  assert np.linalg.norm(root[-1, :2] - root[0, :2]) > 0.3
+  # feet never dip below the plane (ground-clearance projection)
+  assert blob['body_pos_w'][..., 2].min() > 0.0
+  # resampling hit the requested rate
+  assert blob['joint_pos'].shape[0] == pytest.approx(2.5 * 50, abs=2)
+
+
 def test_motion_loader(motion_file):
   ml = MotionLoader(motion_file, body_indexes=np.array([0, 1, 2]))
   assert ml.time_step_total == 100
