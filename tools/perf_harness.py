@@ -159,7 +159,11 @@ def cmd_solver(task, num_envs):
     SV._MEGA_KERNEL = mega
     SV._newton_fn.cache_clear()
     fn = SV._newton_fn(it, lsp, ldof, ne)
-    run = jax.jit(lambda *a: fn(*a)[0])
+    # _newton_fn returns a custom_vmap function: it MUST be applied under
+    # vmap for batched operands (its vmap rule is what dispatches to the
+    # whole-solver Pallas kernel); calling it directly on (B, ...) args
+    # runs the unbatched path on batched shapes and fails
+    run = jax.jit(lambda *a: jax.vmap(fn)(*a)[0])
     run(*args)  # compile
     dt = _timeit(run, *args)
     print(json.dumps({'bench': 'newton-solve', 'path': label, 'task': task,
@@ -238,6 +242,63 @@ def cmd_occupancy(task, num_envs, n_steps=64):
         flush=True)
 
 
+def cmd_itersweep(task, num_envs, iters=(1, 2, 4, 6, 10, 15, 20)):
+  """Marginal cost per Newton iteration (whole-solver Pallas kernel):
+  slope(ms, iterations) isolates the per-iteration loop body (Hessian
+  assembly + Cholesky + linesearch) from fixed costs (VMEM load/store,
+  launch). Informs whether fewer/adaptive iterations is the perf lever."""
+  from mjlab_tpu.physics import constraint as C
+  from mjlab_tpu.physics import solver as SV
+  env = _env(task, num_envs)
+  state = _rollout_state(env)
+  args, s, ne = _solver_inputs(env, state)
+  ldof = tuple(int(i) for i in C.limit_dofadr(s))
+  rows = []
+  for it in iters:
+    fn = SV._newton_fn(int(it), 2, ldof, ne)
+    run = jax.jit(lambda *a: jax.vmap(fn)(*a)[0])  # custom_vmap: see cmd_solver
+    run(*args)
+    dt = _timeit(run, *args)
+    rows.append((it, dt * 1e3))
+    print(json.dumps({'bench': 'itersweep', 'task': task,
+                      'num_envs': num_envs, 'iterations': it,
+                      'ms': round(dt * 1e3, 3)}), flush=True)
+  if len(rows) >= 2:
+    (i0, t0), (i1, t1) = rows[0], rows[-1]
+    print(json.dumps({'bench': 'itersweep-slope', 'task': task,
+                      'ms_per_iteration': round((t1 - t0) / (i1 - i0), 3),
+                      'fixed_ms': round(t0 - i0 * (t1 - t0) / (i1 - i0),
+                                        3)}), flush=True)
+
+
+def cmd_converge(task, num_envs, iters=(1, 2, 3, 4, 6, 8, 10, 15, 30)):
+  """Convergence curve: qacc error vs a 30-iteration reference solve at a
+  realistic rollout state. If the p99 error floors early, the configured
+  iteration count (model.stat.iterations) is buying nothing."""
+  from mjlab_tpu.physics import constraint as C
+  from mjlab_tpu.physics import solver as SV
+  env = _env(task, num_envs)
+  state = _rollout_state(env)
+  args, s, ne = _solver_inputs(env, state)
+  ldof = tuple(int(i) for i in C.limit_dofadr(s))
+
+  def qacc_at(it):
+    fn = SV._newton_fn(int(it), 2, ldof, ne)
+    return np.asarray(jax.jit(lambda *a: jax.vmap(fn)(*a)[0])(*args))
+
+  ref = qacc_at(max(iters))
+  scale = np.abs(ref).max()
+  for it in iters:
+    err = np.abs(qacc_at(it) - ref).max(axis=-1) / max(scale, 1e-9)
+    print(json.dumps({'bench': 'converge', 'task': task,
+                      'num_envs': num_envs, 'iterations': int(it),
+                      'rel_err_p50': float(np.percentile(err, 50)),
+                      'rel_err_p99': float(np.percentile(err, 99)),
+                      'rel_err_max': float(err.max()),
+                      'configured_iterations': int(s.iterations)}),
+          flush=True)
+
+
 def main():
   num_envs = int(os.environ.get('MJLAB_BENCH_ENVS', 4096))
   cmd = sys.argv[1] if len(sys.argv) > 1 else 'steps'
@@ -250,6 +311,10 @@ def main():
     cmd_phases(rest[0] if rest else VEL, num_envs)
   elif cmd == 'occupancy':
     cmd_occupancy(rest[0] if rest else VEL, num_envs)
+  elif cmd == 'itersweep':
+    cmd_itersweep(rest[0] if rest else VEL, num_envs)
+  elif cmd == 'converge':
+    cmd_converge(rest[0] if rest else VEL, num_envs)
   else:
     raise SystemExit(f'unknown subcommand {cmd}')
 

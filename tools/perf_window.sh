@@ -1,0 +1,33 @@
+#!/bin/bash
+# One-command TPU perf-measurement window (VERDICT r3 next #3, #6, #8).
+# Run ONLY when nothing else is on the chip (one TPU client at a time).
+# Results land in artifacts/perf_r4/*.jsonl for BASELINE.md.
+set -u
+cd "$(dirname "$0")/.."
+OUT=artifacts/perf_r4
+mkdir -p "$OUT"
+VEL=Mjlab-Velocity-Flat-Unitree-G1
+TRK=Mjlab-Tracking-Flat-Unitree-G1
+
+run() { # run <name> <cmd...>
+  local name=$1; shift
+  echo "=== $name: $* ==="
+  timeout 2400 "$@" 2>&1 | tee "$OUT/$name.jsonl"
+}
+
+# 1. env.step inversion question: velocity vs tracking at 4096
+run steps python tools/perf_harness.py steps "$VEL" "$TRK"
+# 2. solver path comparison + phase breakdown
+run solver python tools/perf_harness.py solver "$VEL"
+run phases python tools/perf_harness.py phases "$VEL"
+# 3. per-Newton-iteration marginal cost + convergence headroom
+run itersweep python tools/perf_harness.py itersweep "$VEL"
+run converge python tools/perf_harness.py converge "$VEL"
+# 4. smooth-kernel decision (VERDICT #6): bench with/without
+run bench_default python bench.py
+MJLAB_SMOOTH_KERNEL=1 run bench_smoothk python bench.py
+# 5. batch-scaling curve on the honest workload (VERDICT #8)
+for n in 1024 2048 4096 8192 16384; do
+  MJLAB_BENCH_ENVS=$n run "scale_$n" python tools/perf_harness.py steps "$VEL"
+done
+echo "=== perf window complete; outputs in $OUT ==="
