@@ -38,8 +38,21 @@ def _rsum(v):
 
 
 def _make_kernel(iterations: int, ls_polish: int, n: int, ncr: int, nl: int,
-                 ldof: tuple):
-  """Kernel closure over static sizes/iteration count/limit dof map."""
+                 ldof: tuple, grad_th: float = 0.0):
+  """Kernel closure over static sizes/iteration count/limit dof map.
+
+  grad_th > 0 enables MuJoCo-style convergence termination (MuJoCo
+  mj_solNewton: stop when the scaled gradient norm drops below
+  opt.tolerance; grad_th is the UNscaled threshold
+  tolerance * meaninertia * max(1, nv), precomputed by the caller):
+  converged lanes freeze (alpha forced to 0, so their iterates — and
+  hence results — are independent of how long the block keeps looping)
+  and the whole 128-lane block exits once every lane is frozen. This is
+  both the stability fix for deep-penetration states (blowup forensics
+  round 4: 8.6 cm penetrations need ~3x the typical iteration count; a
+  fixed low cap returned unconverged qacc and exploded f32 velocities)
+  and the speed fix (typical states converge in a fraction of the cap,
+  so raising the cap costs only the rare unconverged blocks)."""
 
   def f_oneside(jar, D, act):
     negm = (jar < 0).astype(jar.dtype) * act
@@ -138,10 +151,22 @@ def _make_kernel(iterations: int, ls_polish: int, n: int, ncr: int, nl: int,
     # feeds the (discarded) upper arithmetic
     h_ref[:, :, :] = jnp.zeros((n, n, h_ref.shape[-1]), M.dtype)
 
-    for _ in range(iterations):
-      jars = jars_of(x)
-      (ff, fl, fc), (qf, ql, qc) = forces_of(jars)
-      grad = mmul(x - a0) - scatter_l(ff + cjtmul(fc), l_sign * fl)
+    def grad_of(jars, Mx):
+      forces, quads = forces_of(jars)
+      ff, fl, fc = forces
+      return Mx - scatter_l(ff + cjtmul(fc), l_sign * fl), quads
+
+    # constraint residuals, M(x-a0) and the gradient are CARRIED through
+    # the loop and updated incrementally from linesearch quantities
+    # (jars' = jars + alpha*jd, Mx' = Mx + alpha*Md) — this removes the
+    # per-iteration cjmul(x)/mmul(x) recomputation the unrolled loop did.
+    jf, jl, jc = jars_of(x)
+    Mx = mmul(x - a0)
+    grad, (qf, ql, qc) = grad_of((jf, jl, jc), Mx)
+    th2 = jnp.asarray(grad_th * grad_th, M.dtype)
+
+    def loop_body(carry):
+      it, x, jf, jl, jc, Mx, grad, qf, ql, qc = carry
       Dq_c = cD * qc  # (ncr,BB)
       diag = scatter_l(fD * qf, lD * ql)  # (n,BB)
 
@@ -190,7 +215,7 @@ def _make_kernel(iterations: int, ls_polish: int, n: int, ncr: int, nl: int,
       Md = mmul(dx)
       dMd = _rsum(dx * Md)
       xMd = _rsum((x - a0) * Md)
-      jf0, jl0, jc0 = jars
+      jf0, jl0, jc0 = jf, jl, jc
 
       def phi_gh(alpha):  # (1,BB)
         (ff_a, fl_a, fc_a), (qf_a, ql_a, qc_a) = forces_of(
@@ -228,13 +253,49 @@ def _make_kernel(iterations: int, ls_polish: int, n: int, ncr: int, nl: int,
                         / jnp.where(jnp.abs(denom) > _EPS, denom, 1.0),
                         lo)
       alpha = jnp.where(found_hi, alpha, a1 * scales[-1])
+      # safeguarded polish: phi is convex so phi' is nondecreasing — keep
+      # a [lo, hi] bracket with phi'(lo) <= 0 <= phi'(hi) and fall back to
+      # bisection whenever the 1D Newton step leaves it. Unguarded Newton
+      # steps overshoot at the piecewise-quadratic kinks of stiff
+      # deep-penetration landscapes, returning a bad alpha that explodes
+      # f32 velocities within a few substeps (blowup forensics round 4).
       for _p in range(ls_polish):
         g_p, h_p = phi_gh(alpha)
-        alpha = alpha - g_p / jnp.maximum(h_p, _EPS)
+        neg = g_p <= 0
+        lo = jnp.where(neg, jnp.maximum(alpha, lo), lo)
+        # first positive-slope point REPLACES the unbracketed hi guess
+        hi = jnp.where(neg, hi,
+                       jnp.where(found_hi, jnp.minimum(alpha, hi), alpha))
+        found_hi = found_hi | ~neg
+        a_n = alpha - g_p / jnp.maximum(h_p, _EPS)
+        inside = (a_n >= lo) & (a_n <= hi)
+        alpha = jnp.where(found_hi & ~inside, 0.5 * (lo + hi),
+                          jnp.maximum(a_n, lo))
       alpha = jnp.maximum(alpha, 0.0)
+      # per-lane freeze: lanes whose gradient already met the tolerance
+      # take a zero step, so their results do not depend on how long the
+      # rest of the block keeps iterating
+      alpha = jnp.where(_rsum(grad * grad) > th2, alpha, 0.0)
       x = x + alpha * dx
+      jf = jf0 + alpha * jd_f
+      jl = jl0 + alpha * jd_l
+      jc = jc0 + alpha * jd_c
+      Mx = Mx + alpha * Md
+      grad, (qf, ql, qc) = grad_of((jf, jl, jc), Mx)
+      return it + 1, x, jf, jl, jc, Mx, grad, qf, ql, qc
 
-    (ff, fl, fc), _ = forces_of(jars_of(x))
+    carry = (jnp.zeros((), jnp.int32), x, jf, jl, jc, Mx, grad, qf, ql, qc)
+    if grad_th > 0.0:
+      def loop_cond(carry):
+        it, g = carry[0], carry[6]
+        return (it < iterations) & jnp.any(_rsum(g * g) > th2)
+      carry = jax.lax.while_loop(loop_cond, loop_body, carry)
+    else:
+      carry = jax.lax.fori_loop(0, iterations,
+                                lambda _, c: loop_body(c), carry)
+    x, jf, jl, jc = carry[1], carry[2], carry[3], carry[4]
+
+    (ff, fl, fc), _ = forces_of((jf, jl, jc))
     x_ref[:, :] = x
     ff_ref[:, :] = ff
     fl_ref[:, :] = fl
@@ -245,13 +306,15 @@ def _make_kernel(iterations: int, ls_polish: int, n: int, ncr: int, nl: int,
 
 @functools.partial(jax.jit,
                    static_argnames=('iterations', 'ls_polish', 'ldof',
-                                    'block_b', 'interpret'))
+                                    'block_b', 'interpret', 'grad_th'))
 def newton_solve_tpu(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
                      l_act, f_aref, fD, floss, f_act,
                      iterations: int, ldof: tuple, ls_polish: int = 2,
-                     block_b: int = _LANES, interpret: bool = False):
+                     block_b: int = _LANES, interpret: bool = False,
+                     grad_th: float = 0.0):
   """Batched structured Newton solve. Returns (qacc (B,n), ff (B,n),
-  fl (B,nl), fc (B,ncr))."""
+  fl (B,nl), fc (B,ncr)). grad_th > 0 enables MuJoCo-style convergence
+  termination (see _make_kernel); iterations then acts as the cap."""
   B, n, _ = M.shape
   ncr = cJ.shape[1]
   nl = l_sign.shape[1]
@@ -286,7 +349,7 @@ def newton_solve_tpu(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
                         memory_space=pltpu.VMEM)
 
   in_specs = [spec(a.shape) for a in args]
-  kernel = _make_kernel(iterations, ls_polish, n, ncr, nl, ldof)
+  kernel = _make_kernel(iterations, ls_polish, n, ncr, nl, ldof, grad_th)
   out = pl.pallas_call(
       kernel,
       grid=(Bp // block_b,),

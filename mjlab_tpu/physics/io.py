@@ -456,6 +456,8 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32,
       iterations=int(m.opt.iterations),
       ls_iterations=int(m.opt.ls_iterations),
       disableflags=int(m.opt.disableflags),
+      newton_tolerance=float(m.opt.tolerance),
+      meaninertia=float(m.stat.meaninertia),
       pairs=pairs,
       body_names=_names(m, mujoco.mjtObj.mjOBJ_BODY, m.nbody),
       jnt_names=_names(m, mujoco.mjtObj.mjOBJ_JOINT, m.njnt),

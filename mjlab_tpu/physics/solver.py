@@ -154,7 +154,7 @@ def _elliptic_gh(jx, jdx, xD, mu, fr, act):
 
 def _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
                 l_act, f_aref, fD, floss, f_act, iterations, ls_polish,
-                ldof, ne=0, xargs=None):
+                ldof, ne=0, xargs=None, grad_th=0.0):
   """Single-env structured Newton solve ->
   (qacc, f_friction (nv,), f_limit (nl,), f_contact (ncr,)[, f_elliptic]).
   Pure jax.numpy path (float64 CPU oracle tests + custom_vmap fallback).
@@ -278,12 +278,34 @@ def _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
         lo)
     alpha = jnp.where(any_pos, alpha, grid[-1])
 
-    def polish(_, a):
+    # safeguarded polish (mirrors ops/newton.py): phi is convex so phi'
+    # is nondecreasing — keep the [lo, hi] bracket and bisect whenever
+    # the 1D Newton step leaves it; unguarded steps overshoot at the
+    # piecewise-quadratic kinks of stiff deep-penetration landscapes
+    def polish(_, c):
+      a, lo_, hi_, found = c
       g, h = phi_grad_hess(a)
-      return a - g / jnp.maximum(h, _EPS)
+      neg = g <= 0
+      lo_ = jnp.where(neg, jnp.maximum(a, lo_), lo_)
+      hi_ = jnp.where(neg, hi_,
+                      jnp.where(found, jnp.minimum(a, hi_), a))
+      found = found | ~neg
+      a_n = a - g / jnp.maximum(h, _EPS)
+      inside = (a_n >= lo_) & (a_n <= hi_)
+      a = jnp.where(found & ~inside, 0.5 * (lo_ + hi_),
+                    jnp.maximum(a_n, lo_))
+      return a, lo_, hi_, found
 
-    alpha = jax.lax.fori_loop(0, ls_polish, polish, alpha)
-    return x + jnp.maximum(alpha, 0.0) * dx
+    alpha, _, _, _ = jax.lax.fori_loop(
+        0, ls_polish, polish, (alpha, lo, hi, any_pos))
+    alpha = jnp.maximum(alpha, 0.0)
+    # MuJoCo-style convergence termination (mj_solNewton): once the
+    # gradient norm is below the scaled tolerance the iterate freezes
+    # (zero step). Under vmap every env still runs `iterations` loop
+    # bodies in lockstep, but frozen envs' results match the Pallas
+    # kernel's genuine per-block early exit bit-for-bit.
+    alpha = jnp.where(grad @ grad > grad_th * grad_th, alpha, 0.0)
+    return x + alpha * dx
 
   x = jax.lax.fori_loop(0, iterations, newton_step, x0)
   forces, _ = forces_of(jars_of(x))
@@ -293,10 +315,12 @@ def _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
 
 
 @functools.lru_cache(maxsize=None)
-def _newton_fn(iterations: int, ls_polish: int, ldof: tuple, ne: int = 0):
+def _newton_fn(iterations: int, ls_polish: int, ldof: tuple, ne: int = 0,
+               grad_th: float = 0.0):
   """custom_vmap Newton solve: the vmapped TPU path can run the whole
   solver as one Pallas kernel (MJLAB_NEWTON_KERNEL=1); by default the
-  vmapped jax path runs with the fused Pallas Cholesky solve."""
+  vmapped jax path runs with the fused Pallas Cholesky solve. grad_th > 0
+  enables MuJoCo-style convergence termination (ops/newton.py)."""
   ldof_np = np.asarray(ldof, np.int32)
 
   @jax.custom_batching.custom_vmap
@@ -304,7 +328,7 @@ def _newton_fn(iterations: int, ls_polish: int, ldof: tuple, ne: int = 0):
          f_aref, fD, floss, f_act):
     return _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref,
                        lD, l_act, f_aref, fD, floss, f_act, iterations,
-                       ls_polish, ldof_np, ne)
+                       ls_polish, ldof_np, ne, grad_th=grad_th)
 
   @fn.def_vmap
   def _rule(axis_size, in_batched, *args):  # noqa: ANN001
@@ -319,11 +343,12 @@ def _newton_fn(iterations: int, ls_polish: int, ldof: tuple, ne: int = 0):
         and _kernel_vmem_bytes(M.shape[-1], cJ.shape[1]) < 11 * 2 ** 20):
       from mjlab_tpu.ops.newton import newton_solve_tpu
       out = newton_solve_tpu(*args, iterations=iterations,
-                             ls_polish=ls_polish, ldof=ldof)
+                             ls_polish=ls_polish, ldof=ldof,
+                             grad_th=grad_th)
     else:
       out = jax.vmap(
           lambda *a: _newton_jax(*a, iterations, ls_polish, ldof_np,
-                                 ne))(*args)
+                                 ne, grad_th=grad_th))(*args)
     return out, (True, True, True, True)
 
   return fn
@@ -331,7 +356,7 @@ def _newton_fn(iterations: int, ls_polish: int, ldof: tuple, ne: int = 0):
 
 @functools.lru_cache(maxsize=None)
 def _newton_fn_elliptic(iterations: int, ls_polish: int, ldof: tuple,
-                        ne: int = 0):
+                        ne: int = 0, grad_th: float = 0.0):
   """Newton solve with the elliptic-cone contact block (XLA path only;
   the whole-solver Pallas kernel implements the pyramidal cost)."""
   ldof_np = np.asarray(ldof, np.int32)
@@ -341,7 +366,8 @@ def _newton_fn_elliptic(iterations: int, ls_polish: int, ldof: tuple,
     return _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref,
                        lD, l_act, f_aref, fD, floss, f_act, iterations,
                        ls_polish, ldof_np, ne,
-                       xargs=(xJ, x_aref, xD, x_mu, x_fr, x_act))
+                       xargs=(xJ, x_aref, xD, x_mu, x_fr, x_act),
+                       grad_th=grad_th)
 
   return fn
 
@@ -364,6 +390,10 @@ def solve(m: Model, d: Data, efc) -> Data:
   # config (ls_iterations=20) keeps the round-1 default of 2 polish
   # steps; larger budgets (oracle tests use 50) polish further.
   ls_polish = max(1, min((int(s.ls_iterations) - 10) // 4, 6))
+  # MuJoCo convergence threshold (mj_solNewton): stop when
+  # ||grad|| * 1/(meaninertia * max(1, nv)) < opt.tolerance. The unscaled
+  # threshold is static so frozen-lane masking costs one compare.
+  grad_th = float(s.newton_tolerance) * float(s.meaninertia) * max(1, s.nv)
   lay = _constraint.efc_layout(s)
   ne = lay.ne
   nlt = lay.nlt
@@ -385,7 +415,8 @@ def solve(m: Model, d: Data, efc) -> Data:
                               efc['c_active'])
   elliptic = 'x_J' in efc
   if elliptic:
-    fn = _newton_fn_elliptic(int(s.iterations), ls_polish, ldof, ne)
+    fn = _newton_fn_elliptic(int(s.iterations), ls_polish, ldof, ne,
+                             grad_th)
     x, ff, fl, fc, fx = fn(
         d.qM, d.qacc_smooth, d.qacc_warmstart,
         cJ, c_aref, c_D, c_act,
@@ -417,7 +448,7 @@ def solve(m: Model, d: Data, efc) -> Data:
       efc_force = efc_force.at[jnp.asarray(x_rows).ravel()].set(
           fx.reshape(-1), mode='drop')
   else:
-    fn = _newton_fn(int(s.iterations), ls_polish, ldof, ne)
+    fn = _newton_fn(int(s.iterations), ls_polish, ldof, ne, grad_th)
     x, ff, fl, fc = fn(
         d.qM, d.qacc_smooth, d.qacc_warmstart,
         cJ, c_aref, c_D, c_act,

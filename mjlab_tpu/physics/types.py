@@ -287,6 +287,13 @@ class ModelStatic(StaticBase):
   geom_dataid: np.ndarray = None  # (ngeom,) mesh id, -1 for non-mesh
   mesh_hulls: object = None       # MeshHulls | None
 
+  # Newton-solver early-exit inputs (mirror MjOption.tolerance and
+  # MjStatistic.meaninertia): MuJoCo terminates when the gradient norm
+  # scaled by 1/(meaninertia*max(1,nv)) drops below tolerance
+  # (physics/solver.py, ops/newton.py). Compile-time scalars.
+  newton_tolerance: float = 1e-8
+  meaninertia: float = 1.0
+
 
 @struct.dataclass
 class Option:

@@ -68,6 +68,24 @@ def test_kernel_matches_xla_path(seed):
                                err_msg=name)
 
 
+def test_kernel_early_exit_matches_full_run():
+  """grad_th > 0 (MuJoCo-style convergence termination + per-lane freeze)
+  must return the same minimizer as the full fixed-iteration run: frozen
+  lanes stop exactly at the tolerance, so differences are bounded by it."""
+  B, n, ncr, nl = 128, 9, 12, 4
+  ldof = (2, 4, 6, 8)
+  args = _random_problem(B, n, ncr, nl, seed=1)
+  full = newton_solve_tpu(*args, iterations=30, ls_polish=3, ldof=ldof,
+                          interpret=True)
+  early = newton_solve_tpu(*args, iterations=30, ls_polish=3, ldof=ldof,
+                           interpret=True, grad_th=1e-5)
+  for name, f, e in zip(('qacc', 'ff', 'fl', 'fc'), full, early):
+    f, e = np.asarray(f), np.asarray(e)
+    scale = np.max(np.abs(f)) + 1.0
+    np.testing.assert_allclose(e / scale, f / scale, atol=1e-4,
+                               err_msg=name)
+
+
 def test_kernel_pads_ragged_batch():
   """B not a multiple of the 128-lane block: padded lanes must not
   corrupt real outputs."""
