@@ -26,8 +26,9 @@ run converge python tools/perf_harness.py converge "$VEL"
 # 4. smooth-kernel decision (VERDICT #6): bench with/without
 run bench_default python bench.py
 MJLAB_SMOOTH_KERNEL=1 run bench_smoothk python bench.py
-# 5. batch-scaling curve on the honest workload (VERDICT #8)
-for n in 1024 2048 4096 8192 16384; do
+# 5. batch-scaling curve on the honest workload (VERDICT #8; 4096 is
+# covered by the steps run above)
+for n in 1024 8192 16384; do
   MJLAB_BENCH_ENVS=$n run "scale_$n" python tools/perf_harness.py steps "$VEL"
 done
 echo "=== perf window complete; outputs in $OUT ==="
