@@ -151,22 +151,20 @@ def _make_kernel(iterations: int, ls_polish: int, n: int, ncr: int, nl: int,
     # feeds the (discarded) upper arithmetic
     h_ref[:, :, :] = jnp.zeros((n, n, h_ref.shape[-1]), M.dtype)
 
-    def grad_of(jars, Mx):
-      forces, quads = forces_of(jars)
-      ff, fl, fc = forces
-      return Mx - scatter_l(ff + cjtmul(fc), l_sign * fl), quads
-
-    # constraint residuals, M(x-a0) and the gradient are CARRIED through
-    # the loop and updated incrementally from linesearch quantities
-    # (jars' = jars + alpha*jd, Mx' = Mx + alpha*Md) — this removes the
-    # per-iteration cjmul(x)/mmul(x) recomputation the unrolled loop did.
-    jf, jl, jc = jars_of(x)
-    Mx = mmul(x - a0)
-    grad, (qf, ql, qc) = grad_of((jf, jl, jc), Mx)
+    # The Newton loop MUST stay Python-unrolled: any lax loop (while_loop
+    # AND fori_loop were both tried) costs +3.6 MB of Mosaic stack at the
+    # 4096-env G1 shape — over the 16 MB scoped-vmem limit — because the
+    # dynamic trip count defeats cross-iteration buffer reuse. Converged
+    # lanes still freeze per MuJoCo semantics (alpha masked to 0 once the
+    # scaled gradient norm is under tolerance), the block just executes
+    # all `iterations` unrolled steps.
     th2 = jnp.asarray(grad_th * grad_th, M.dtype)
 
-    def loop_body(carry):
-      it, x, jf, jl, jc, Mx, grad, qf, ql, qc = carry
+    for _ in range(iterations):
+      jf, jl, jc = jars_of(x)
+      (ff, fl, fc), (qf, ql, qc) = forces_of((jf, jl, jc))
+      grad = mmul(x - a0) - scatter_l(ff + cjtmul(fc), l_sign * fl)
+      g2 = _rsum(grad * grad)  # (1,BB)
       Dq_c = cD * qc  # (ncr,BB)
       diag = scatter_l(fD * qf, lD * ql)  # (n,BB)
 
@@ -273,29 +271,11 @@ def _make_kernel(iterations: int, ls_polish: int, n: int, ncr: int, nl: int,
                           jnp.maximum(a_n, lo))
       alpha = jnp.maximum(alpha, 0.0)
       # per-lane freeze: lanes whose gradient already met the tolerance
-      # take a zero step, so their results do not depend on how long the
-      # rest of the block keeps iterating
-      alpha = jnp.where(_rsum(grad * grad) > th2, alpha, 0.0)
+      # take a zero step (MuJoCo convergence semantics)
+      alpha = jnp.where(g2 > th2, alpha, 0.0)
       x = x + alpha * dx
-      jf = jf0 + alpha * jd_f
-      jl = jl0 + alpha * jd_l
-      jc = jc0 + alpha * jd_c
-      Mx = Mx + alpha * Md
-      grad, (qf, ql, qc) = grad_of((jf, jl, jc), Mx)
-      return it + 1, x, jf, jl, jc, Mx, grad, qf, ql, qc
 
-    carry = (jnp.zeros((), jnp.int32), x, jf, jl, jc, Mx, grad, qf, ql, qc)
-    if grad_th > 0.0:
-      def loop_cond(carry):
-        it, g = carry[0], carry[6]
-        return (it < iterations) & jnp.any(_rsum(g * g) > th2)
-      carry = jax.lax.while_loop(loop_cond, loop_body, carry)
-    else:
-      carry = jax.lax.fori_loop(0, iterations,
-                                lambda _, c: loop_body(c), carry)
-    x, jf, jl, jc = carry[1], carry[2], carry[3], carry[4]
-
-    (ff, fl, fc), _ = forces_of((jf, jl, jc))
+    (ff, fl, fc), _ = forces_of(jars_of(x))
     x_ref[:, :] = x
     ff_ref[:, :] = ff
     fl_ref[:, :] = fl
