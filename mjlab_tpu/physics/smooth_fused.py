@@ -5,8 +5,10 @@ in one stage. Per-env signature like the rest of the pipeline; under
 vmap on the TPU with MJLAB_SMOOTH_KERNEL=1 (supported tree, f32,
 batch >= 256) the custom_vmap rule routes the whole batch to the fused
 Pallas kernel; otherwise the exact XLA stages it replaces run
-(physics/kinematics.py, physics/smooth.py). Default OFF until measured
-faster on hardware (see ops/smooth_kernel.py header).
+(physics/kinematics.py, physics/smooth.py). DEFAULT ON since round 4:
+measured +8.3% end-to-end on chip (bench.py G1 velocity 4096 envs,
+20,268 vs 18,721 env-steps/s/chip — BASELINE.md round 4).
+MJLAB_SMOOTH_KERNEL=0 opts out.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ from mjlab_tpu.physics.types import Data, Model
 
 def enabled(stat) -> bool:
   """Static gate, checked by pipeline at trace time."""
-  return (os.environ.get('MJLAB_SMOOTH_KERNEL', '0') == '1'
+  return (os.environ.get('MJLAB_SMOOTH_KERNEL', '1') == '1'
           and _sk._Tree.supported(stat))
 
 

@@ -75,9 +75,9 @@ def test_kernel_early_exit_matches_full_run():
   B, n, ncr, nl = 128, 9, 12, 4
   ldof = (2, 4, 6, 8)
   args = _random_problem(B, n, ncr, nl, seed=1)
-  full = newton_solve_tpu(*args, iterations=30, ls_polish=3, ldof=ldof,
+  full = newton_solve_tpu(*args, iterations=12, ls_polish=3, ldof=ldof,
                           interpret=True)
-  early = newton_solve_tpu(*args, iterations=30, ls_polish=3, ldof=ldof,
+  early = newton_solve_tpu(*args, iterations=12, ls_polish=3, ldof=ldof,
                            interpret=True, grad_th=1e-5)
   for name, f, e in zip(('qacc', 'ff', 'fl', 'fc'), full, early):
     f, e = np.asarray(f), np.asarray(e)

@@ -242,7 +242,7 @@ def cmd_occupancy(task, num_envs, n_steps=64):
         flush=True)
 
 
-def cmd_itersweep(task, num_envs, iters=(1, 2, 4, 6, 10, 15, 20)):
+def cmd_itersweep(task, num_envs, iters=(2, 6, 10, 20)):
   """Marginal cost per Newton iteration (whole-solver Pallas kernel):
   slope(ms, iterations) isolates the per-iteration loop body (Hessian
   assembly + Cholesky + linesearch) from fixed costs (VMEM load/store,
@@ -271,7 +271,7 @@ def cmd_itersweep(task, num_envs, iters=(1, 2, 4, 6, 10, 15, 20)):
                                         3)}), flush=True)
 
 
-def cmd_converge(task, num_envs, iters=(1, 2, 3, 4, 6, 8, 10, 15, 30)):
+def cmd_converge(task, num_envs, iters=(2, 4, 6, 10, 30)):
   """Convergence curve: qacc error vs a 30-iteration reference solve at a
   realistic rollout state. If the p99 error floors early, the configured
   iteration count (model.stat.iterations) is buying nothing."""
