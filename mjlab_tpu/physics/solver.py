@@ -41,6 +41,13 @@ from mjlab_tpu.physics.types import Data, Model
 _MEGA_KERNEL = os.environ.get('MJLAB_NEWTON_KERNEL', '1') == '1'
 _EPS = 1e-15
 
+# Test-only: revert the linesearch polish to the pre-fix unguarded 1D
+# Newton step (the f32-blowup root cause, round 4). The regression test
+# (tests/test_blowup_regression.py) flips this to prove the captured
+# trigger states still bite without the safeguard. Read at trace time;
+# flip + _newton_fn.cache_clear() + a fresh jit to take effect.
+UNSAFE_LS_POLISH = False
+
 
 # ---------------------------------------------------------------------------
 # per-block force/cost pieces
@@ -285,6 +292,8 @@ def _newton_jax(M, a0, ws, cJ, c_aref, cD, c_act, l_sign, l_aref, lD,
     def polish(_, c):
       a, lo_, hi_, found = c
       g, h = phi_grad_hess(a)
+      if UNSAFE_LS_POLISH:  # test-only pre-fix path, see module docstring
+        return a - g / jnp.maximum(h, _EPS), lo_, hi_, found
       neg = g <= 0
       lo_ = jnp.where(neg, jnp.maximum(a, lo_), lo_)
       hi_ = jnp.where(neg, hi_,
