@@ -506,6 +506,10 @@ class ManagerBasedRlEnv:
   # ------------------------------------------------------------------
   def reset(self, seed: int | None = None):
     self._state, obs = self.init_state(seed)
+    # the fresh state carries a zeroed forensic ring; re-sync the host
+    # counter or post-reset captures would be silently suppressed until
+    # the device count outran the stale value (ADVICE r4)
+    self._blowup_count = 0
     return obs, {}
 
   def step(self, action):

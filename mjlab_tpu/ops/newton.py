@@ -46,13 +46,16 @@ def _make_kernel(iterations: int, ls_polish: int, n: int, ncr: int, nl: int,
   opt.tolerance; grad_th is the UNscaled threshold
   tolerance * meaninertia * max(1, nv), precomputed by the caller):
   converged lanes freeze (alpha forced to 0, so their iterates — and
-  hence results — are independent of how long the block keeps looping)
-  and the whole 128-lane block exits once every lane is frozen. This is
-  both the stability fix for deep-penetration states (blowup forensics
-  round 4: 8.6 cm penetrations need ~3x the typical iteration count; a
-  fixed low cap returned unconverged qacc and exploded f32 velocities)
-  and the speed fix (typical states converge in a fraction of the cap,
-  so raising the cap costs only the rare unconverged blocks)."""
+  hence results — are independent of how long the block keeps looping).
+  NOTE: the iteration loop below is deliberately Python-unrolled (a lax
+  loop blows the VMEM budget, see BASELINE.md round 4), so on TPU every
+  block executes ALL `iterations` unrolled bodies — there is no block
+  early exit, and raising the cap costs every block the extra
+  iterations. The freeze is the stability fix for deep-penetration
+  states (blowup forensics round 4: 8.6 cm penetrations need ~3x the
+  typical iteration count; a fixed low cap returned unconverged qacc
+  and exploded f32 velocities) and keeps results bit-identical to the
+  XLA path's per-lane convergence semantics."""
 
   def f_oneside(jar, D, act):
     negm = (jar < 0).astype(jar.dtype) * act

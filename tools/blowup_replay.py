@@ -1,7 +1,8 @@
 """Replay physics-blowup dumps captured by MJLAB_BLOWUP_DUMP.
 
 Loads the pre-explosion snapshots written by
-mjlab_tpu/envs/manager_based_rl_env.py (_on_blowup) and re-runs the
+mjlab_tpu/envs/manager_based_rl_env.py (_forensic_write /
+maybe_dump_forensics) and re-runs the
 exact exploding control step on CPU under controlled variants, to
 isolate the root cause of residual f32 blowups (VERDICT r3 next #2):
 
@@ -54,15 +55,26 @@ def _load_dumps(dump_dir, max_dumps):
 
 
 def _stack_dumps(dumps):
-  """Concatenate the per-env rows of every dump into one batch."""
+  """Concatenate the per-env rows of every dump into one batch. All
+  captured randomized-model leaves (every `model_*` key the forensic
+  writer recorded) are carried so the replay matches training for any
+  DR collection, not just geom_friction."""
   keys = ('qpos', 'qvel', 'ctrl', 'qacc_warmstart', 'xfrc_applied',
-          'qfrc_applied', 'time', 'processed_action', 'episode_length',
-          'model_geom_friction')
+          'qfrc_applied', 'time', 'processed_action', 'episode_length')
+  keys = keys + tuple(k for k in dumps[0] if k.startswith('model_')
+                      and k != 'model_field_names')
   out = {}
   for k in keys:
     if k in dumps[0]:
       out[k] = np.concatenate([d[k] for d in dumps], axis=0)
   return out
+
+
+def _model_fields(batch):
+  """{model attribute name: per-env batch array} for every captured
+  randomized-model leaf."""
+  return {k[len('model_'):]: v for k, v in batch.items()
+          if k.startswith('model_')}
 
 
 def _diag_fns(model, axes):
@@ -139,11 +151,13 @@ def _engine_replay(env, batch, ctrl, n_sub, dtype, iter_mult=1,
   cap = env.cfg.sim.nconmax if ncon_cap is None else ncon_cap
   model = phys_io.put_model(mj, dtype=dtype, ncon_cap=cap)
   n = batch['qpos'].shape[0]
-  if 'model_geom_friction' in batch:
-    fr = jnp.asarray(batch['model_geom_friction'], dtype)
-    model_b = model.replace(geom_friction=fr)
-  else:
-    model_b = model
+  fields = {k: jnp.asarray(v, dtype) for k, v in _model_fields(batch).items()
+            if hasattr(model, k)}
+  skipped = sorted(set(_model_fields(batch)) - set(fields))
+  if skipped:
+    print(f'# WARNING: captured model fields without an engine attr '
+          f'skipped: {skipped}', flush=True)
+  model_b = model.replace(**fields) if fields else model
   axes = model_vmap_axes(model_b, model)
   data = make_batched_data(model, n, dtype=dtype)
   data = data.replace(
@@ -192,9 +206,10 @@ def main(argv=None):
       qfrc_applied=jnp.asarray(batch['qfrc_applied'], f32),
       time=jnp.asarray(batch['time'], f32))
   state = state.replace(data=data0)
-  if 'model_geom_friction' in batch:
-    state = state.replace(model=state.model.replace(
-        geom_friction=jnp.asarray(batch['model_geom_friction'], f32)))
+  env_fields = {k: jnp.asarray(v, f32) for k, v in
+                _model_fields(batch).items() if hasattr(state.model, k)}
+  if env_fields:
+    state = state.replace(model=state.model.replace(**env_fields))
   ctx = env._make_ctx(state)
   processed = jnp.asarray(batch['processed_action'], f32)
   data_ap = env.action_manager.apply(ctx, state.data, processed)

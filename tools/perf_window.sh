@@ -23,12 +23,14 @@ run phases python tools/perf_harness.py phases "$VEL"
 # 3. per-Newton-iteration marginal cost + convergence headroom
 run itersweep python tools/perf_harness.py itersweep "$VEL"
 run converge python tools/perf_harness.py converge "$VEL"
-# 4. smooth-kernel decision (VERDICT #6): bench with/without
+# 4. smooth-kernel A/B: the fused kernel is the DEFAULT since round 4,
+# so the baseline leg must opt OUT via MJLAB_SMOOTH_KERNEL=0; env vars
+# are scoped with `env` so they don't leak into later runs
 run bench_default python bench.py
-MJLAB_SMOOTH_KERNEL=1 run bench_smoothk python bench.py
+run bench_nokernel env MJLAB_SMOOTH_KERNEL=0 python bench.py
 # 5. batch-scaling curve on the honest workload (VERDICT #8; 4096 is
 # covered by the steps run above)
 for n in 1024 8192 16384; do
-  MJLAB_BENCH_ENVS=$n run "scale_$n" python tools/perf_harness.py steps "$VEL"
+  run "scale_$n" env MJLAB_BENCH_ENVS=$n python tools/perf_harness.py steps "$VEL"
 done
 echo "=== perf window complete; outputs in $OUT ==="
