@@ -45,7 +45,9 @@ def test_kernel_matches_xla_path(seed):
   B, n, ncr, nl = 128, 9, 12, 4
   ldof = (2, 4, 6, 8)
   args = _random_problem(B, n, ncr, nl, seed=seed)
-  iters, polish = 25, 3
+  # 12 Newton iterations converge this well-conditioned synthetic to
+  # f32 roundoff (was 25; trimmed for suite wall time, VERDICT r4 #7)
+  iters, polish = 12, 3
 
   outk = newton_solve_tpu(*args, iterations=iters, ls_polish=polish,
                           ldof=ldof, interpret=True)
@@ -75,9 +77,9 @@ def test_kernel_early_exit_matches_full_run():
   B, n, ncr, nl = 128, 9, 12, 4
   ldof = (2, 4, 6, 8)
   args = _random_problem(B, n, ncr, nl, seed=1)
-  full = newton_solve_tpu(*args, iterations=12, ls_polish=3, ldof=ldof,
+  full = newton_solve_tpu(*args, iterations=8, ls_polish=3, ldof=ldof,
                           interpret=True)
-  early = newton_solve_tpu(*args, iterations=12, ls_polish=3, ldof=ldof,
+  early = newton_solve_tpu(*args, iterations=8, ls_polish=3, ldof=ldof,
                            interpret=True, grad_th=1e-5)
   for name, f, e in zip(('qacc', 'ff', 'fl', 'fc'), full, early):
     f, e = np.asarray(f), np.asarray(e)
@@ -93,9 +95,10 @@ def test_kernel_pads_ragged_batch():
   ldof = (1, 3, 5)
   args_full = _random_problem(128, n, ncr, nl, seed=7)
   args = tuple(a[:B] for a in args_full)
-  out_small = newton_solve_tpu(*args, iterations=8, ls_polish=2,
+  # padding correctness is iteration-count independent; keep it cheap
+  out_small = newton_solve_tpu(*args, iterations=4, ls_polish=1,
                                ldof=ldof, interpret=True)
-  out_full = newton_solve_tpu(*args_full, iterations=8, ls_polish=2,
+  out_full = newton_solve_tpu(*args_full, iterations=4, ls_polish=1,
                               ldof=ldof, interpret=True)
   for k, x in zip(out_small, out_full):
     np.testing.assert_allclose(np.asarray(k), np.asarray(x)[:B],

@@ -67,11 +67,18 @@ def test_motion_loader(motion_file):
   assert ml.body_pos_w.shape[1] == 3
 
 
-def test_tracking_env_smoke(motion_file):
-  cfg = registry.load_cfg('Mjlab-Tracking-Flat-Unitree-G1')
+def test_tracking_env_smoke(tmp_path):
+  """Full tracking-stack smoke (RSI, adaptive sampling, time stepping)
+  on the TinyBot debug task: same manager/command/reward code paths as
+  the G1 task at a compile cost of seconds instead of ~5 minutes (the
+  G1 tracking env itself is exercised on-chip by training runs and its
+  cfg by test_tracking_registry_ids)."""
+  import mjlab_tpu.tasks.tracking.config.tiny as tiny  # noqa: F401
+  motion_file = tiny.write_tiny_motion(str(tmp_path / 'wave.npz'))
+  cfg = registry.load_cfg('Mjlab-Tracking-Flat-Tiny')
   cfg.scene.num_envs = 2
   cfg.commands.motion.motion_file = motion_file
-  env = registry.make('Mjlab-Tracking-Flat-Unitree-G1', cfg=cfg)
+  env = registry.make('Mjlab-Tracking-Flat-Tiny', cfg=cfg)
   state, obs = env.init_state(0)
   assert 'policy' in obs and 'critic' in obs
   # RSI: envs start at sampled motion time steps (copy out: the jitted

@@ -201,6 +201,85 @@ def cmd_phases(task, num_envs):
         flush=True)
 
 
+def cmd_envphases(task, num_envs):
+  """Decompose the FULL env step into its phases (VERDICT r4 #3: explain
+  the velocity-slower-than-tracking inversion). Each phase is jitted and
+  timed standalone at the same rollout state; 'step' is the fused whole,
+  so sum(phases) > step is expected (XLA fuses/overlaps across phases),
+  but the RATIO of a phase between two tasks is meaningful."""
+  env = _env(task, num_envs)
+  state = _rollout_state(env)
+  key = jax.random.PRNGKey(7)
+  processed = env.action_manager.process(
+      jnp.zeros((env.num_envs, env.action_dim)))
+
+  def phys4(data):
+    ctx = env._make_ctx(state)
+    def substep(d, _):
+      d = env.action_manager.apply(ctx, d, processed)
+      d = env._phys_step(state.model, d)
+      return d, jnp.max(jnp.abs(d.qvel), axis=-1)
+    d, _ = jax.lax.scan(substep, data, None, length=env.cfg.decimation)
+    return d
+
+  def fwd_refresh(data):
+    return env._phys_forward(state.model, data)
+
+  def rew_term(data):
+    ctx = env._make_ctx(state.replace(data=data))
+    terminated, truncated, term_info = env.termination_manager.compute(ctx)
+    ctx.terminated = terminated
+    reward, sums, _, rew_state = env.reward_manager.compute(
+        ctx, state.reward_sums, env.step_dt, state.reward)
+    return reward, sums, terminated, truncated
+
+  def reset_masked(data, k):
+    st = state.replace(data=data)
+    # realistic sparse done mask (~0.5% of envs reset per control step)
+    done = jax.random.uniform(k, (env.num_envs,)) < 0.005
+    term_info = {n: jnp.zeros(env.num_envs, bool)
+                 for n in env.termination_manager.active_terms}
+    st2, extras = env._reset_masked(st, done, term_info, k)
+    return st2.data, st2.command, extras
+
+  def cmd_events(data, k):
+    st = state.replace(data=data)
+    ctx = env._make_ctx(st)
+    cmd_state = env.command_manager.compute(st.command, ctx, k, env.step_dt)
+    ctx = env._make_ctx(st.replace(command=cmd_state))
+    d2, ev_state = env.event_manager.apply_interval(ctx, data, st.event, k)
+    return d2, cmd_state, ev_state
+
+  def obs(data, k):
+    ctx = env._make_ctx(state.replace(data=data))
+    return env.observation_manager.compute(ctx, state.obs, k)
+
+  rows = []
+  for name, fn, args in (
+      ('phys4(decimation loop)', jax.jit(phys4), (state.data,)),
+      ('fwd_refresh(forward)', jax.jit(fwd_refresh), (state.data,)),
+      ('rew_term', jax.jit(rew_term), (state.data,)),
+      ('reset_masked', jax.jit(reset_masked), (state.data, key)),
+      ('cmd_events', jax.jit(cmd_events), (state.data, key)),
+      ('obs', jax.jit(obs), (state.data, key)),
+  ):
+    fn(*args)
+    dt = _timeit(lambda *a: fn(*a), *args)
+    rows.append((name, dt))
+    print(json.dumps({'bench': 'envphase', 'phase': name, 'task': task,
+                      'num_envs': num_envs, 'ms': round(dt * 1e3, 3)}),
+          flush=True)
+  # the fused whole for reference
+  step = jax.jit(env.step_fn, donate_argnums=(0,))
+  act = jnp.zeros((env.num_envs, env.action_dim))
+  dt = _timeit_chain(lambda s: step(s, act)[0], state)
+  print(json.dumps({'bench': 'envphase', 'phase': 'step(full, fused)',
+                    'task': task, 'num_envs': num_envs,
+                    'ms': round(dt * 1e3, 3),
+                    'env_steps_per_s': round(num_envs / dt, 1)}),
+        flush=True)
+
+
 def cmd_occupancy(task, num_envs, n_steps=64):
   from mjlab_tpu.physics import constraint as C
   from mjlab_tpu.physics import pipeline as P
@@ -309,6 +388,8 @@ def main():
     cmd_solver(rest[0] if rest else VEL, num_envs)
   elif cmd == 'phases':
     cmd_phases(rest[0] if rest else VEL, num_envs)
+  elif cmd == 'envphases':
+    cmd_envphases(rest[0] if rest else VEL, num_envs)
   elif cmd == 'occupancy':
     cmd_occupancy(rest[0] if rest else VEL, num_envs)
   elif cmd == 'itersweep':
