@@ -212,9 +212,16 @@ class OnPolicyRunner:
         # checkpoints vs an env built with MJLAB_BLOWUP_DUMP on).
         template.pop('env_state', None)
         template.pop('obs', None)
+        # slim deployment checkpoints (tools/slim_checkpoint.py, the
+        # shipped asset_zoo/pretrained artifact) carry params+normalizers
+        # only — drop template keys the file doesn't have; the updates
+        # dict below already guards each optional key.
+        for k in list(template):
+          if k not in saved_keys:
+            template.pop(k)
         payload = ckptr.restore(path, args=ocp.args.PyTreeRestore(
             item=template,
-            partial_restore='env_state' in saved_keys))
+            partial_restore=bool(saved_keys - set(template))))
       else:
         # env-state restore: the forensic ring is never checkpointed
         # (see save()), so restore with an empty ring in the template
