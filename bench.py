@@ -116,6 +116,13 @@ def main():
   key = jax.random.PRNGKey(0)
   action = 0.5 * jax.random.normal(key, (num_envs, env.action_dim))
 
+  # HBM guard: refuse over-budget launches instead of crashing the
+  # worker (mjlab_tpu/utils/hbm.py; no-op on backends without memory
+  # analysis)
+  from mjlab_tpu.utils import hbm
+  hbm.assert_fits(step.lower(state, action).compile(),
+                  label=f'{task} env.step @{num_envs}')
+
   # warmup / compile
   state, out = step(state, action)
   jax.block_until_ready(out[1])

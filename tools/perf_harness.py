@@ -93,6 +93,17 @@ def cmd_steps(tasks, num_envs):
     act = 0.5 * jax.random.normal(jax.random.PRNGKey(1),
                                   (num_envs, env.action_dim))
 
+    # HBM guard (VERDICT r4 #8): the 8192-env point crashed the worker;
+    # check XLA's own peak-memory analysis before executing
+    from mjlab_tpu.utils import hbm
+    compiled = step.lower(state, act).compile()
+    rep = hbm.assert_fits(compiled, label=f'{task} env.step @{num_envs}')
+    if rep is not None:
+      print(json.dumps({'bench': 'env.step.memory', 'task': task,
+                        'num_envs': num_envs,
+                        'peak_bytes': rep.peak_bytes,
+                        'capacity_bytes': rep.capacity_bytes}), flush=True)
+
     def run(s):
       s2, _ = step(s, act)
       return s2
