@@ -28,7 +28,10 @@ def main(argv=None):
   p.add_argument('--train-iterations', type=int, default=300)
   p.add_argument('--num-envs', type=int, default=2048)
   p.add_argument('--steps', type=int, default=300)
-  args = p.parse_args(argv)
+  # unknown --env.*/--agent.* flags pass through to play: the shipped
+  # tracking policy e.g. needs its walk clip
+  # (--env.commands.motion.motion_file artifacts/motions/...npz)
+  args, extra = p.parse_known_args(argv)
 
   from mjlab_tpu.utils.cache import (apply_platform_env,
                                      setup_compilation_cache)
@@ -79,7 +82,7 @@ def main(argv=None):
                '--env.scene.num-envs', str(min(args.num_envs, 16))]
   if os.environ.get('DISPLAY'):
     play_args.append('--viewer')
-  play_main(play_args)
+  play_main(play_args + list(extra))
 
 
 if __name__ == '__main__':

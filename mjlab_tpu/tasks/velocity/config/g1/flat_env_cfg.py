@@ -37,7 +37,13 @@ def _g1_with_sensors():
           geom2='terrain',  # ground contact ONLY — under FULL_COLLISION a
           # foot can also touch the other leg, which must not read as
           # touchdown (reference rough_env_cfg.py:19-27 body2='terrain')
-          data=('found', 'force'), reduce='netforce')
+          # found-only, matching the reference (rough_env_cfg.py:24
+          # data=("found",)): the force channel is consumed by no MDP
+          # term, and requesting it forces the full-width contact-force
+          # decode into every physics substep — measured +36 GB HBM
+          # traffic per env.step at 4096 envs (73% of the velocity-vs-
+          # tracking throughput inversion, see BASELINE.md round 5).
+          data=('found',), reduce='netforce')
       for side in ('left', 'right'))
   cfg.spec_editors = cfg.spec_editors + sensors
   return cfg

@@ -28,7 +28,10 @@ def _go1_with_sensors():
           geom1=f'{p}_foot_collision',
           geom2='terrain',  # ground contact only (reference
           # rough_env_cfg.py body2='terrain')
-          data=('found', 'force'), reduce='netforce')
+          # found-only, matching the reference Go1 cfg (data=("found",));
+          # see the G1 cfg note — the force channel was dead weight that
+          # forced the contact-force decode into every substep.
+          data=('found',), reduce='netforce')
       for p in _FEET)
   cfg.spec_editors = cfg.spec_editors + sensors
   return cfg
